@@ -1,0 +1,421 @@
+"""IMBE 4400 parameter decode + frame FSM + process step (batched).
+
+Covers mbe_decodeImbe4400Parms / mbe_processImbe4400Dataf and the 7200x4400
+frame ECC/demod stage (imbe7200x4400.c), plus the 7100x4400 variant's ECC and
+7100->7200 bit conversion (imbe7100x4400.c). The per-L bit-allocation
+scatter (bo/ba/hoba/ImbeJi, 48 layouts) becomes dense gather tables indexed
+by L9 lane-wise; all frame-type branching is mask-select.
+"""
+
+import dataclasses
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bits as bit_ops
+from ..ops import demod, ecc
+from ..tables import T
+from . import spectral
+from .state import Parms, MUTING_THRESHOLD_IMBE
+from .speech import synthesize_speech_core
+from ..ops.enhance import spectral_amp_enhance
+from .state import imbe_headroom_reset, select
+
+_B0_IDX = np.array([0, 1, 2, 3, 4, 5, 85, 86], np.int32)
+
+
+@lru_cache(maxsize=1)
+def _decode_tables():
+    """Host-precomputed dense layouts for the 48 distinct L values."""
+    Ji = np.asarray(T.ImbeJi)          # [48, 6]
+    hoba = np.asarray(T.hoba)          # [48, 50]
+    idct = np.asarray(T.imbe_idct_cos)  # [11,11,11] cosf table
+
+    # m index for HOC coefficient (i, k): m = 8 + running offset
+    m_idx = np.full((48, 6, 9), -1, np.int32)  # k-2 in 0..8 (k<=10)
+    for L9 in range(48):
+        m = 8
+        for i in range(6):
+            for k in range(2, Ji[L9, i] + 1):
+                m_idx[L9, i, k - 2] = m
+                m += 1
+
+    # Tl matrix: Tl[l] = sum_{k} ak * Cik[i_of_l][k] * idct[ji][j][k]
+    # flattened over (i, k) -> 60 columns.
+    TlM = np.zeros((48, 57, 60), np.float32)
+    for L9 in range(48):
+        l = 1
+        for i in range(6):
+            ji = Ji[L9, i]
+            for j in range(1, ji + 1):
+                for k in range(1, ji + 1):
+                    ak = 1.0 if k == 1 else 2.0
+                    TlM[L9, l, i * 10 + (k - 1)] = ak * idct[ji, j, k]
+                l += 1
+
+    # Ri IDCT matrix: Ri[i] = sum_m am * Gm[m] * ri_cos[m][i], m,i in 1..6
+    ri_cos = np.asarray(T.imbe_ri_cos)  # [7,7]
+    RiM = np.zeros((6, 6), np.float32)  # [m-1, i-1]
+    for m in range(1, 7):
+        for i in range(1, 7):
+            am = 1.0 if m == 1 else 2.0
+            RiM[m - 1, i - 1] = am * ri_cos[m, i]
+
+    return dict(m_idx=m_idx, TlM=TlM, RiM=RiM,
+                bo_flat=(np.asarray(T.bo)[:, :, 0] * 12
+                         + np.asarray(T.bo)[:, :, 1]).astype(np.int32),
+                ba_bits=np.asarray(T.ba)[:, :, 0].astype(np.int32),  # [48,5]
+                ba_step=np.asarray(T.ba)[:, :, 1].astype(np.float32),
+                hoba=hoba.astype(np.int32))
+
+
+def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
+    """Batched mbe_decodeImbe4400Parms (imbe7200x4400.c:589-630).
+
+    Args: imbe_d [C, 88] int32 parameter bits.
+    Returns: (cur', prev', bad [C] int32) — bad==1 lanes leave all state
+    untouched (invalid fundamental, imbe7200x4400.c:117-130).
+    """
+    tb = _decode_tables()
+    d = imbe_d.astype(jnp.int32)
+    c = d.shape[0]
+
+    b0 = bit_ops.pack_msb_first(d, _B0_IDX)
+    bad = (b0 > 207).astype(jnp.int32)
+    b0s = jnp.clip(b0, 0, 207)
+
+    w0 = jnp.take(jnp.asarray(T.imbe_w0_by_b0), b0s, axis=0)
+    L = jnp.take(jnp.asarray(T.imbe_L_by_b0), b0s, axis=0)
+    K = jnp.take(jnp.asarray(T.imbe_K_by_b0), b0s, axis=0)
+    L9 = L - 9
+
+    # --- bit scatter into bb[58][12] (imbe7200x4400.c:156-168) -----------
+    flat_idx = jnp.take(jnp.asarray(tb["bo_flat"]), L9, axis=0)  # [C, 79]
+    vals = d[:, 6:85]
+    bb = jnp.zeros((c, 58 * 12), jnp.int32)
+    bb = bb.at[jnp.arange(c)[:, None], flat_idx].set(vals)
+
+    # --- voicing (imbe7200x4400.c:170-188) --------------------------------
+    li = jnp.arange(57, dtype=jnp.int32)[None, :]  # band index
+    k_of_l = jnp.maximum(K[:, None] - 1 - (li - 1) // 3, 0)
+    vl_bits = jnp.take_along_axis(bb, 12 + k_of_l, axis=1)
+    band_mask = (li >= 1) & (li <= L[:, None])
+    Vl = jnp.where(band_mask, vl_bits, cur.Vl)
+
+    # --- gains (imbe7200x4400.c:190-209) ----------------------------------
+    tbit = jnp.arange(12, dtype=jnp.int32)[None, :]
+    pow2 = (1 << jnp.arange(12, dtype=jnp.int32))[None, :]
+
+    def read_row(row_idx, nbits):
+        """bits_descending(bb[row], nbits-1, 0) per lane."""
+        rows = jnp.take_along_axis(
+            bb, row_idx[:, None] * 12 + tbit, axis=1)  # [C, 12]
+        m = tbit < nbits[:, None]
+        return jnp.sum(jnp.where(m, rows * pow2, 0), axis=-1)
+
+    b2 = read_row(jnp.full((c,), 2, jnp.int32), jnp.full((c,), 6, jnp.int32))
+    Gm1 = jnp.take(jnp.asarray(T.B2), b2, axis=0)
+
+    ba_bits = jnp.take(jnp.asarray(tb["ba_bits"]), L9, axis=0)  # [C, 5]
+    ba_step = jnp.take(jnp.asarray(tb["ba_step"]), L9, axis=0)  # [C, 5]
+    Gm_rest = []
+    for i in range(2, 7):
+        nb = ba_bits[:, i - 2]
+        bm = read_row(jnp.full((c,), i + 1, jnp.int32), nb)
+        g = ba_step[:, i - 2] * (bm.astype(jnp.float32)
+                                 - jnp.exp2(nb.astype(jnp.float32) - 1.0)
+                                 + jnp.float32(0.5))
+        Gm_rest.append(g)
+    Gm = jnp.stack([Gm1] + Gm_rest, axis=-1)  # [C, 6]
+
+    # --- Ri = 6-pt IDCT (imbe7200x4400.c:211-231) -------------------------
+    Ri = jnp.matmul(Gm, jnp.asarray(tb["RiM"]),
+                    preferred_element_type=jnp.float32)  # [C, 6]
+
+    # --- HOC coefficients Cik (imbe7200x4400.c:233-249) -------------------
+    m_idx = jnp.take(jnp.asarray(tb["m_idx"]), L9, axis=0)  # [C, 6, 9]
+    m_valid = m_idx >= 0
+    m_safe = jnp.maximum(m_idx, 0)
+    hoba = jnp.take(jnp.asarray(tb["hoba"]), L9, axis=0)  # [C, 50]
+    Bm = jnp.take_along_axis(
+        hoba, jnp.maximum(m_safe - 8, 0).reshape(c, -1), axis=1).reshape(c, 6, 9)
+    rows = jnp.take_along_axis(
+        bb[:, None, None, :].reshape(c, -1),
+        (m_safe[..., None] * 12 + tbit.reshape(1, 1, 1, 12)).reshape(c, -1),
+        axis=1).reshape(c, 6, 9, 12)
+    mm = tbit.reshape(1, 1, 1, 12) < Bm[..., None]
+    bm_hoc = jnp.sum(jnp.where(mm, rows * pow2.reshape(1, 1, 1, 12), 0), axis=-1)
+    qs = jnp.take(jnp.asarray(T.quantstep), jnp.clip(Bm - 1, 0, 10), axis=0)
+    kk = jnp.arange(9, dtype=jnp.int32).reshape(1, 1, 9)  # k-2
+    sd = jnp.take(jnp.asarray(T.standdev), jnp.clip(kk, 0, 8), axis=0)
+    hoc = (qs * sd) * (bm_hoc.astype(jnp.float32)
+                       - jnp.exp2(Bm.astype(jnp.float32) - 1.0)
+                       + jnp.float32(0.5))
+    hoc = jnp.where(m_valid & (Bm > 0), hoc, 0.0)
+
+    # Cik flattened to [C, 60] in (i, k-1) layout: k=1 -> Ri, k>=2 -> hoc
+    Cik = jnp.concatenate([Ri[..., None], hoc], axis=-1)  # [C, 6, 10]
+    Cik = Cik.reshape(c, 60)
+
+    # --- Tl via per-L dense matrix (imbe7200x4400.c:251-270) --------------
+    TlM = jnp.take(jnp.asarray(tb["TlM"]), L9, axis=0)  # [C, 57, 60]
+    Tl = jnp.einsum("clk,ck->cl", TlM, Cik)
+
+    # --- spectral amplitude prediction (imbe7200x4400.c:272-354) ----------
+    rho = jnp.where(L <= 15, jnp.float32(0.4),
+                    jnp.where(L <= 24,
+                              jnp.float32(0.03) * L.astype(jnp.float32)
+                              - jnp.float32(0.05),
+                              jnp.float32(0.7)))
+    Ml_n, log2_n, pM, pLg, cL = spectral.spectral_update(
+        L, prev.L, prev.Ml, prev.log2Ml, Tl, weight=rho,
+        cur_Ml=cur.Ml, cur_log2Ml=cur.log2Ml)
+
+    ok = (bad == 0)
+    okc = ok[:, None]
+    cur_out = dataclasses.replace(
+        cur,
+        w0=jnp.where(ok, w0, cur.w0),
+        L=jnp.where(ok, cL, cur.L),
+        K=jnp.where(ok, K, cur.K),
+        Vl=jnp.where(okc, Vl, cur.Vl),
+        Ml=jnp.where(okc, Ml_n, cur.Ml),
+        log2Ml=jnp.where(okc, log2_n, cur.log2Ml))
+    prev_out = dataclasses.replace(
+        prev,
+        Ml=jnp.where(okc, pM, prev.Ml),
+        log2Ml=jnp.where(okc, pLg, prev.log2Ml))
+    return cur_out, prev_out, bad
+
+
+# ---------------------------------------------------------------------------
+# Frame-level ECC / demod (imbe7200x4400.c:424-744, imbe7100x4400.c:99-516)
+# ---------------------------------------------------------------------------
+
+def decode_imbe7200_frame(frame, soft_rel=None):
+    """Batched mbe_decodeImbe7200x4400[Soft]Frame.
+
+    Args:
+      frame: [C, 8, 23] int32 bitplanes (hard bits, or soft hard-decisions).
+      soft_rel: [C, 8, 23] int32 reliabilities, or None for the hard path.
+    Returns:
+      (imbe_d [C, 88], c0_errors, protected_errors, c4_errors [C] each)
+    """
+    f = frame.astype(jnp.int32)
+    soft = soft_rel is not None
+
+    if soft:
+        c0_out, c0_errs = ecc.golay2312_soft(f[:, 0, :], soft_rel[:, 0, :])
+    else:
+        c0_out, c0_errs = ecc.golay2312_hard(f[:, 0, :])
+
+    # demod PRNG seeded by C0 bits 22..11 (imbe7200x4400.c:648-656)
+    seed = 16 * bit_ops.pack_descending(c0_out, 22, 11)
+    pr = demod.prng_bits(seed, 114)  # [C, 114]
+
+    # rows 1..3 bits 22..0, rows 4..6 bits 14..0 XORed with keystream
+    k = 0
+    rows = [c0_out]
+    for i in range(1, 4):
+        key = pr[:, k:k + 23][:, ::-1]  # applied j=22..0
+        rows.append(f[:, i, :] ^ key)
+        k += 23
+    for i in range(4, 7):
+        key = pr[:, k:k + 15][:, ::-1]
+        rows.append(f[:, i, :15] ^ key)
+        k += 15
+    row7 = f[:, 7, :]
+
+    # data ECC + 88-bit packing (imbe7200x4400.c:469-515)
+    dparts = [rows[0][:, 22:10:-1]]  # C0 data bits 22..11 (12 bits)
+    perrs = 0
+    c4_errs = None
+    for i in range(1, 4):
+        if soft:
+            # demodulation flips hard decisions, keeps reliabilities
+            g_out, g_errs = ecc.golay2312_soft(rows[i], soft_rel[:, i, :])
+        else:
+            g_out, g_errs = ecc.golay2312_hard(rows[i])
+        perrs = perrs + g_errs
+        dparts.append(g_out[:, 22:10:-1])
+    for i in range(4, 7):
+        if soft:
+            h_out, h_errs = ecc.hamming1511_soft(rows[i], soft_rel[:, i, :15])
+        else:
+            h_out, h_errs = ecc.hamming1511_hard(rows[i])
+        perrs = perrs + h_errs
+        if i == 4:
+            c4_errs = h_errs
+        dparts.append(h_out[:, 14:3:-1])  # bits 14..4 (11 bits)
+    dparts.append(row7[:, 6::-1])  # 7 bits 6..0
+    imbe_d = jnp.concatenate(dparts, axis=-1)
+    return imbe_d, c0_errs, perrs, c4_errs
+
+
+@lru_cache(maxsize=1)
+def _conv7100_tables():
+    """mbe_convertImbe7100to7200 (imbe7100x4400.c:380-437) as a per-K
+    gather permutation: out[j] = in[perm[K][j]] for the 88-bit vector."""
+    perms = np.zeros((13, 88), np.int32)
+    for K in range(1, 13):
+        dst = np.zeros(88, np.int32)
+        dst[87] = 0
+        dst[48 + K] = 42
+        dst[49 + K] = 43
+        k = 44
+        j = 48
+        for _ in range(K):
+            dst[j] = k
+            j += 1
+            k += 1
+        j = 0
+        k = 1
+        while j < 87:
+            dst[j] = k
+            j += 1
+            if j == 48:
+                j += K + 2
+            k += 1
+            if k == 42:
+                k += K + 2
+        perms[K] = dst
+    return perms
+
+
+def convert_7100_to_7200(imbe_d):
+    """Batched mbe_convertImbe7100to7200 (imbe7100x4400.c:380-437)."""
+    d = imbe_d.astype(jnp.int32)
+    b0 = bit_ops.pack_msb_first(d, np.array([1, 2, 3, 4, 5, 6, 86, 87], np.int32))
+    b0s = jnp.clip(b0, 0, 207)
+    K = jnp.take(jnp.asarray(T.imbe_K_by_b0), b0s, axis=0)
+    perms = jnp.asarray(_conv7100_tables())  # [13, 88]
+    perm = jnp.take(perms, jnp.clip(K, 1, 12), axis=0)  # [C, 88]
+    return jnp.take_along_axis(d, perm, axis=1)
+
+
+def decode_imbe7100_frame(frame, soft_rel=None):
+    """Batched mbe_decodeImbe7100x4400[Soft]Frame (imbe7100x4400.c:439-516).
+
+    frame: [C, 7, 24] int32. Returns (imbe_d [C,88] in 7200 layout, c0,
+    protected, c4 errors)."""
+    f = frame.astype(jnp.int32)
+    soft = soft_rel is not None
+    c = f.shape[0]
+
+    # C0: short Golay — 18 data bits at fr[0][1..18], padded with 5 zeros
+    zeros5 = jnp.zeros((c, 5), jnp.int32)
+    g_in = jnp.concatenate([f[:, 0, 1:19], zeros5], axis=-1)
+    if soft:
+        rel5 = jnp.full((c, 5), 255, jnp.int32)
+        g_rel = jnp.concatenate([soft_rel[:, 0, 1:19], rel5], axis=-1)
+        c0_out, c0_errs = ecc.golay2312_soft(g_in, g_rel)
+    else:
+        c0_out, c0_errs = ecc.golay2312_hard(g_in)
+    # write back corrected bits 0..17 into fr[0][1..18] positions
+    fr0 = jnp.concatenate([f[:, 0, :1], c0_out[:, :18], f[:, 0, 19:]], axis=-1)
+
+    # demod PRNG seeded by fr[0] bits 18..12 (imbe7100x4400.c:302-311)
+    seed = 16 * bit_ops.pack_descending(fr0, 18, 12)
+    pr = demod.prng_bits(seed, 100)
+
+    row1 = f[:, 1, :] ^ pr[:, 0:24][:, ::-1]
+    k = 24
+    rows23 = []
+    for i in range(2, 4):
+        rows23.append(f[:, i, :23] ^ pr[:, k:k + 23][:, ::-1])
+        k += 23
+    rows45 = []
+    for i in range(4, 6):
+        rows45.append(f[:, i, :15] ^ pr[:, k:k + 15][:, ::-1])
+        k += 15
+
+    dparts = [fr0[:, 18:11:-1]]  # C0 bits 18..12 (7 bits)
+    if soft:
+        g_out, perrs = ecc.golay2312_soft(row1[:, 1:24], soft_rel[:, 1, 1:24])
+    else:
+        g_out, perrs = ecc.golay2312_hard(row1[:, 1:24])
+    dparts.append(g_out[:, 22:10:-1])
+    c4_errs = None
+    for idx, r in enumerate(rows23):
+        if soft:
+            g_out, g_errs = ecc.golay2312_soft(r, soft_rel[:, 2 + idx, :23])
+        else:
+            g_out, g_errs = ecc.golay2312_hard(r)
+        perrs = perrs + g_errs
+        dparts.append(g_out[:, 22:10:-1])
+    for idx, r in enumerate(rows45):
+        if soft:
+            h_out, h_errs = ecc.hamming1511_soft(r, soft_rel[:, 4 + idx, :15],
+                                                 variant7100=True)
+        else:
+            h_out, h_errs = ecc.hamming1511_hard(r, variant7100=True)
+        perrs = perrs + h_errs
+        if idx == 0:
+            c4_errs = h_errs
+        dparts.append(h_out[:, 14:3:-1])
+    dparts.append(f[:, 6, 22::-1])  # C6: 23 raw bits 22..0
+    imbe_d = jnp.concatenate(dparts, axis=-1)
+    imbe_d = convert_7100_to_7200(imbe_d)
+    return imbe_d, c0_errs, perrs, c4_errs
+
+
+# ---------------------------------------------------------------------------
+# Process FSM (imbe7200x4400.c:780-925)
+# ---------------------------------------------------------------------------
+
+def process_imbe4400(imbe_d, total_errors, c0_errors, c0_valid, c4_errors,
+                     c4_valid, cur: Parms, prev: Parms, enh: Parms,
+                     comfort_rng, lcg_prime):
+    """Batched mbe_processImbe4400Dataf (imbe7200x4400.c:858-888).
+
+    Args:
+      imbe_d: [C, 88] int32.
+      total_errors/c0_errors/c4_errors: [C] i32; c0_valid/c4_valid [C] bool.
+    Returns: (audio [C,160] f32, cur', prev', enh', comfort_rng',
+              flags dict of [C] bool: repeat, mute)
+    """
+    # -- prepare (imbe7200x4400.c:780-808) ---------------------------------
+    c0e = jnp.where(c0_valid, c0_errors, 0)
+    cur = dataclasses.replace(
+        cur,
+        errorCount4=jnp.where(c4_valid, c4_errors, 0),
+        mutingThreshold=jnp.full_like(cur.mutingThreshold,
+                                      MUTING_THRESHOLD_IMBE),
+        errorCountTotal=total_errors,
+        errorRate=(jnp.float32(0.95) * prev.errorRate
+                   + jnp.float32(0.000365) * total_errors.astype(jnp.float32)))
+
+    # -- decode (mutates cur model fields + prev prediction state) ---------
+    cur, prev, bad = decode_imbe4400_parms(imbe_d, cur, prev)
+
+    # -- repeat decision (imbe7200x4400.c:810-840) --------------------------
+    repeat_threshold = jnp.float32(10.0) + jnp.float32(40.0) * cur.errorRate
+    rep = jnp.where(
+        bad == 1, True,
+        jnp.where(c0_valid,
+                  (c0e >= 2) & (total_errors.astype(jnp.float32)
+                                >= repeat_threshold),
+                  total_errors > 5))
+
+    headroom = rep & (prev.repeatCount > 3)
+    use_last = rep & ~headroom
+    cur_reset = imbe_headroom_reset(cur)
+    cur_rep = dataclasses.replace(
+        prev, repeatCount=prev.repeatCount + 1)  # useLast + repeatCount++
+    cur = select(headroom, cur_reset, select(use_last, cur_rep, cur))
+    cur = dataclasses.replace(
+        cur, repeatCount=jnp.where(rep, cur.repeatCount, 0))
+
+    # -- synthesis (imbe7200x4400.c:842-856): always runs -------------------
+    muted = (cur.repeatCount >= 4) | (cur.errorRate > cur.mutingThreshold)
+    prev = cur  # prev <- cur (functional copy)
+    Ml_e, rm0 = spectral_amp_enhance(cur.w0, cur.L, cur.Ml)
+    cur = dataclasses.replace(cur, Ml=Ml_e)
+    audio, cur, enh, comfort_rng = synthesize_speech_core(
+        cur, enh, comfort_rng, lcg_prime, rm0)
+    enh = cur  # prev_enh <- cur
+
+    return audio, cur, prev, enh, comfort_rng, dict(repeat=rep, mute=muted)
+

@@ -1,0 +1,111 @@
+"""Batched speech synthesis core (mbe_synthesizeSpeechCore, mbelib.c:1042-1105).
+
+Pure function over `Parms` pytrees: all lanes compute the full voiced +
+unvoiced + comfort-noise paths; per-lane mute/validity masks select which
+results and state updates commit. Matches the reference's exact state
+side-effect discipline:
+
+- adaptive smoothing commits even for muted frames (mbelib.c:1057-1064)
+- muted frames emit comfort noise and do NOT advance the noise LCG, phases,
+  or previousUw (mbelib.c:1069-1073)
+- the comfort-noise RNG advances only on lanes that actually emitted it
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..ops import enhance, noise, synth
+from .state import Parms
+
+
+def _valid_L(L):
+    return (L >= 1) & (L <= 56)
+
+
+def should_mute(cur: Parms):
+    """mbe_should_mute_speech (mbelib.c:895-899)."""
+    mute_on_error_rate = jnp.abs(cur.mutingThreshold - jnp.float32(0.096)) > 1e-6
+    return (cur.repeatCount >= 4) | (mute_on_error_rate
+                                     & (cur.errorRate > cur.mutingThreshold))
+
+
+def synthesize_speech_core(cur: Parms, prev: Parms, comfort_rng, lcg_prime,
+                           rm0):
+    """One batched frame of speech synthesis.
+
+    Args:
+      cur, prev: Parms (prev is prev_mp_enhanced in the process paths).
+      comfort_rng: [C, 3] uint32 Java-Random limbs.
+      lcg_prime: [C] f32 cold-start LCG prime values.
+      rm0: [C] f32 pre-enhancement spectral energy (pass the enhance result;
+        for the plain mbe_synthesizeSpeechf path pass the Σ Ml² of cur —
+        mbe_adaptive.c:151-161).
+    Returns:
+      (audio [C, 160] f32, cur', prev', comfort_rng')
+    """
+    valid = _valid_L(cur.L) & _valid_L(prev.L)
+
+    # --- adaptive smoothing (always, even when muted) --------------------
+    Ml_s, Vl_s, local_e, amp_t = enhance.adaptive_smoothing(
+        cur.Ml, cur.Vl, cur.L, cur.errorRate, cur.errorCountTotal,
+        cur.errorCount4, prev.localEnergy, prev.amplitudeThreshold, rm0)
+    cur = dataclasses.replace(
+        cur,
+        Ml=jnp.where(valid[:, None], Ml_s, cur.Ml),
+        Vl=jnp.where(valid[:, None], Vl_s, cur.Vl),
+        localEnergy=jnp.where(valid, local_e, cur.localEnergy),
+        amplitudeThreshold=jnp.where(valid, amp_t, cur.amplitudeThreshold))
+
+    mute = should_mute(cur) & valid
+    speak = valid & ~mute
+
+    # --- comfort noise (committed on muted lanes only) --------------------
+    cn, new_rng = noise.comfort_noise(comfort_rng)
+    comfort_rng = jnp.where(mute[:, None], new_rng, comfort_rng)
+
+    # --- noise buffer (LCG state advances on speaking lanes only) ---------
+    noise_buf, new_seed, new_overlap = noise.generate_noise_with_overlap(
+        cur.noiseSeed, cur.noiseOverlap, lcg_prime)
+
+    # --- model reconciliation + phase update -------------------------------
+    maxl, c_Ml, c_Vl, p_Ml, p_Vl = synth.reconcile_model_lengths(
+        cur.L, cur.Ml, cur.Vl, prev.L, prev.Ml, prev.Vl)
+    num_uv = synth.count_unvoiced(c_Vl, cur.L)
+    c_psi, c_phi, p_psi = synth.update_phases(
+        cur.w0, cur.L, cur.PSIl, cur.PHIl, prev.w0, prev.PSIl, noise_buf,
+        num_uv)
+
+    # --- voiced + unvoiced render -----------------------------------------
+    voiced = synth.render_voiced(cur.w0, c_Ml, c_Vl, c_phi,
+                                 prev.w0, p_Ml, p_Vl, prev.PHIl, maxl)
+    unvoiced_add, new_uw = synth.unvoiced_fft(
+        cur.w0, cur.L, c_Ml, c_Vl, prev.previousUw, noise_buf)
+    speech = synth.clip_float(voiced + unvoiced_add)
+
+    audio = jnp.where(speak[:, None], speech,
+                      jnp.where(mute[:, None], cn, 0.0))
+
+    sp = speak[:, None]
+    cur = dataclasses.replace(
+        cur,
+        Ml=jnp.where(sp, c_Ml, cur.Ml),
+        Vl=jnp.where(sp, c_Vl, cur.Vl),
+        PSIl=jnp.where(sp, c_psi, cur.PSIl),
+        PHIl=jnp.where(sp, c_phi, cur.PHIl),
+        previousUw=jnp.where(sp, new_uw, cur.previousUw),
+        noiseSeed=jnp.where(speak, new_seed, cur.noiseSeed),
+        noiseOverlap=jnp.where(sp, new_overlap, cur.noiseOverlap))
+    prev = dataclasses.replace(
+        prev,
+        Ml=jnp.where(sp, p_Ml, prev.Ml),
+        Vl=jnp.where(sp, p_Vl, prev.Vl),
+        PSIl=jnp.where(sp, p_psi, prev.PSIl))
+    return audio, cur, prev, comfort_rng
+
+
+def current_frame_rm0(cur: Parms):
+    """mbe_current_frame_rm0 (mbe_adaptive.c:151-161)."""
+    mask = enhance.band_mask(cur.L)
+    rm0 = jnp.sum(jnp.where(mask, cur.Ml * cur.Ml, 0.0), axis=-1)
+    return jnp.where(_valid_L(cur.L), rm0, 0.0)

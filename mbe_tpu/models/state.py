@@ -1,0 +1,219 @@
+"""Batched per-channel codec state (the TPU equivalent of `mbe_parms`).
+
+The reference keeps one caller-owned `mbe_parms` triplet per stream plus a
+handful of thread-local RNG singletons (mbelib.h:88-139, SURVEY.md L4). Here
+all of that becomes one pytree of [C, ...] arrays — C concurrent channels —
+that is threaded functionally through every frame step and scanned over
+time. It is plain data: trivially snapshottable, shardable along C, and
+donate-able.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import noise
+from ..tables import T
+
+MAX_L = 56
+NBANDS = 57  # index 0 unused for most arrays, matching the reference layout
+FRAME = 160
+
+MUTING_THRESHOLD_IMBE = np.float32(0.0875)
+MUTING_THRESHOLD_AMBE = np.float32(0.096)
+MAX_FRAME_REPEATS = 4
+DEFAULT_LOCAL_ENERGY = np.float32(75000.0)
+DEFAULT_AMPLITUDE_THRESHOLD = 20480
+
+
+def _field(**kw):
+    return dataclasses.field(**kw)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["w0", "L", "K", "Vl", "Ml", "log2Ml", "PHIl", "PSIl",
+                      "gamma", "tonePhase", "swn", "localEnergy",
+                      "amplitudeThreshold", "errorRate", "errorCountTotal",
+                      "errorCount4", "repeatCount", "mutingThreshold",
+                      "previousUw", "noiseSeed", "noiseOverlap"],
+         meta_fields=[])
+@dataclasses.dataclass
+class Parms:
+    """Batched mirror of mbe_parms (mbelib.h:88-139). All leaves [C, ...]."""
+
+    w0: jax.Array            # [C] f32
+    L: jax.Array             # [C] i32
+    K: jax.Array             # [C] i32
+    Vl: jax.Array            # [C, 57] i32
+    Ml: jax.Array            # [C, 57] f32
+    log2Ml: jax.Array        # [C, 57] f32
+    PHIl: jax.Array          # [C, 57] f32
+    PSIl: jax.Array          # [C, 57] f32
+    gamma: jax.Array         # [C] f32
+    tonePhase: jax.Array     # [C] u32
+    swn: jax.Array           # [C] u32 (tone phase 1 accumulator)
+    localEnergy: jax.Array   # [C] f32
+    amplitudeThreshold: jax.Array  # [C] i32
+    errorRate: jax.Array     # [C] f32
+    errorCountTotal: jax.Array     # [C] i32
+    errorCount4: jax.Array   # [C] i32
+    repeatCount: jax.Array   # [C] i32
+    mutingThreshold: jax.Array     # [C] f32
+    previousUw: jax.Array    # [C, 256] f32
+    noiseSeed: jax.Array     # [C] f32 (<0 = cold start sentinel)
+    noiseOverlap: jax.Array  # [C, 96] f32
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["cur", "prev", "enh", "comfort_rng", "lcg_prime"],
+         meta_fields=[])
+@dataclasses.dataclass
+class ChannelState:
+    """Full decoder state: the parms triplet plus per-channel RNG state.
+
+    comfort_rng replaces the thread-local Java-Random (mbe_adaptive.c:29);
+    lcg_prime replaces the thread-local unvoiced cold-start override
+    (mbe_unvoiced_fft.c:29-30).
+    """
+
+    cur: Parms
+    prev: Parms
+    enh: Parms
+    comfort_rng: jax.Array  # [C, 3] u32 (16-bit limbs of Java Random state)
+    lcg_prime: jax.Array    # [C] f32 (unvoiced LCG cold-start value)
+
+
+def _default_parms(c: int, ambe: bool) -> Parms:
+    """JMBE defaults: IMBE (mbelib.c:368-409) or AMBE W124
+    (ambe_common.c:192-229)."""
+    f32 = jnp.float32
+    if ambe:
+        w0 = jnp.full((c,), float(T.default_w0[0]), f32)
+        L = jnp.full((c,), 15, jnp.int32)
+        K = jnp.zeros((c,), jnp.int32)
+        mut = jnp.full((c,), MUTING_THRESHOLD_AMBE, f32)
+    else:
+        w0 = jnp.full((c,), float(T.default_w0[2]), f32)
+        L = jnp.full((c,), 39, jnp.int32)
+        K = jnp.full((c,), 12, jnp.int32)
+        mut = jnp.full((c,), MUTING_THRESHOLD_IMBE, f32)
+    return Parms(
+        w0=w0, L=L, K=K,
+        Vl=jnp.zeros((c, NBANDS), jnp.int32),
+        Ml=jnp.ones((c, NBANDS), f32),
+        log2Ml=jnp.zeros((c, NBANDS), f32),
+        PHIl=jnp.zeros((c, NBANDS), f32),
+        PSIl=jnp.zeros((c, NBANDS), f32),
+        gamma=jnp.zeros((c,), f32),
+        tonePhase=jnp.zeros((c,), jnp.uint32),
+        swn=jnp.zeros((c,), jnp.uint32),
+        localEnergy=jnp.full((c,), DEFAULT_LOCAL_ENERGY, f32),
+        amplitudeThreshold=jnp.full((c,), DEFAULT_AMPLITUDE_THRESHOLD, jnp.int32),
+        errorRate=jnp.zeros((c,), f32),
+        errorCountTotal=jnp.zeros((c,), jnp.int32),
+        errorCount4=jnp.zeros((c,), jnp.int32),
+        repeatCount=jnp.zeros((c,), jnp.int32),
+        mutingThreshold=mut,
+        previousUw=jnp.zeros((c, 256), f32),
+        noiseSeed=jnp.full((c,), -1.0, f32),
+        noiseOverlap=jnp.zeros((c, 96), f32),
+    )
+
+
+def init_state(channels: int, rng_seed=None) -> ChannelState:
+    """mbe_initMbeParms for a batch of channels (+ RNG state).
+
+    rng_seed: optional [C] uint32 per-channel seed, the equivalent of
+    mbe_setThreadRngSeed (mbelib.c:173-181); None leaves the RNGs on their
+    unseeded defaults (Java Random 0x12345678 and LCG 3147).
+    """
+    p = _default_parms(channels, ambe=False)
+    if rng_seed is None:
+        comfort = noise.java_random_init(
+            jnp.full((channels,), 0x12345678, jnp.uint32))
+        lcg_prime = jnp.full((channels,), noise.LCG_DEFAULT_SEED, jnp.float32)
+    else:
+        seed = jnp.asarray(rng_seed, jnp.uint32)
+        seed = jnp.broadcast_to(seed, (channels,))
+        seed = jnp.where(seed == 0, jnp.uint32(0x6D25357B), seed)
+        comfort = noise.java_random_init(seed)
+        lcg_prime = (seed % jnp.uint32(noise.LCG_M)).astype(jnp.float32)
+    return ChannelState(cur=p, prev=jax.tree.map(jnp.copy, p),
+                        enh=jax.tree.map(jnp.copy, p),
+                        comfort_rng=comfort, lcg_prime=lcg_prime)
+
+
+def ambe_default_parms_like(p: Parms) -> Parms:
+    """mbe_initAmbeParms_common values with p's batch shape
+    (ambe_common.c:192-229)."""
+    c = p.w0.shape[0]
+    return _default_parms(c, ambe=True)
+
+
+def select(mask, a: Parms, b: Parms) -> Parms:
+    """Lane-wise select: mask [C] -> a where True else b, per leaf."""
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+        return jnp.where(m, x, y)
+    return jax.tree.map(sel, a, b)
+
+
+def select_tree(mask, a, b):
+    """Lane-wise select over arbitrary matching pytrees."""
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+        return jnp.where(m, x, y)
+    return jax.tree.map(sel, a, b)
+
+
+def erasure_parms(mp: Parms, continuity: Parms) -> Parms:
+    """mbe_setAmbeErasureParms_common (ambe_common.c:231-260): W120 model
+    with phase/noise continuity taken from `continuity`; error/repeat/muting
+    fields keep mp's values."""
+    c = mp.w0.shape[0]
+    f32 = jnp.float32
+    return dataclasses.replace(
+        mp,
+        swn=jnp.zeros((c,), jnp.uint32),
+        tonePhase=jnp.zeros((c,), jnp.uint32),
+        w0=jnp.zeros((c,), f32),
+        L=jnp.full((c,), 9, jnp.int32),
+        K=jnp.zeros((c,), jnp.int32),
+        gamma=jnp.zeros((c,), f32),
+        Ml=jnp.ones((c, NBANDS), f32),
+        Vl=jnp.zeros((c, NBANDS), jnp.int32),
+        log2Ml=jnp.zeros((c, NBANDS), f32),
+        PHIl=continuity.PHIl,
+        PSIl=continuity.PSIl,
+        localEnergy=jnp.full((c,), DEFAULT_LOCAL_ENERGY, f32),
+        amplitudeThreshold=jnp.full((c,), DEFAULT_AMPLITUDE_THRESHOLD, jnp.int32),
+        noiseSeed=continuity.noiseSeed,
+        noiseOverlap=continuity.noiseOverlap,
+        previousUw=continuity.previousUw,
+    )
+
+
+def imbe_headroom_reset(mp: Parms) -> Parms:
+    """imbe_reset_headroom_defaults (imbe7200x4400.c:56-81): default voice
+    model, preserving error metrics and synthesis continuity state."""
+    c = mp.w0.shape[0]
+    f32 = jnp.float32
+    return dataclasses.replace(
+        mp,
+        swn=jnp.zeros((c,), jnp.uint32),
+        tonePhase=jnp.zeros((c,), jnp.uint32),
+        w0=jnp.full((c,), float(T.default_w0[2]), f32),
+        L=jnp.full((c,), 39, jnp.int32),
+        K=jnp.full((c,), 12, jnp.int32),
+        gamma=jnp.zeros((c,), f32),
+        Vl=jnp.zeros((c, NBANDS), jnp.int32),
+        Ml=jnp.ones((c, NBANDS), f32),
+        log2Ml=jnp.zeros((c, NBANDS), f32),
+        repeatCount=jnp.zeros((c,), jnp.int32),
+        localEnergy=jnp.full((c,), DEFAULT_LOCAL_ENERGY, f32),
+        amplitudeThreshold=jnp.full((c,), DEFAULT_AMPLITUDE_THRESHOLD, jnp.int32),
+        mutingThreshold=jnp.full((c,), MUTING_THRESHOLD_IMBE, f32),
+    )

@@ -1,0 +1,70 @@
+"""Bit validation, packing, and soft-bit helpers (batched).
+
+Mirrors src/internal/mbe_bitpack.h and the soft-bit constructors in
+mbelib.c:117-158, re-expressed over int32 lane arrays.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+STATUS_OK = 0
+STATUS_INVALID_ARGUMENT = -1
+STATUS_INVALID_BITS = -2
+
+
+def validate_bits_host(bits) -> int:
+    """Host-side strict 0/1 validation (mbe_result.h:18-29). Returns status."""
+    arr = np.asarray(bits)
+    if arr.size == 0:
+        return STATUS_OK
+    ok = np.logical_or(arr == 0, arr == 1).all()
+    return STATUS_OK if ok else STATUS_INVALID_BITS
+
+
+def validate_soft_bits_host(bits) -> int:
+    """Host-side soft-bit validation: bit field must be <= 1
+    (mbe_result.h:31-42)."""
+    arr = np.asarray(bits)
+    if arr.size == 0:
+        return STATUS_OK
+    return STATUS_OK if (arr <= 1).all() and (arr >= 0).all() else STATUS_INVALID_BITS
+
+
+def bits_valid(bits):
+    """Lane-wise validity over the last axes: all bits in {0,1}. Returns
+    [...] bool reduced over every axis except the leading batch axis."""
+    b = jnp.asarray(bits)
+    flat = b.reshape(b.shape[0], -1)
+    return jnp.all((flat == 0) | (flat == 1), axis=-1)
+
+
+def pack_msb_first(bits, indices):
+    """mbe_bits_by_index_to_int (mbe_bitpack.h:11-19): MSB-first pack of
+    bits[..., indices]."""
+    idx = np.asarray(indices, dtype=np.int32)
+    sel = jnp.take(bits, jnp.asarray(idx), axis=-1).astype(jnp.int32)
+    weights = jnp.asarray(1 << np.arange(len(idx) - 1, -1, -1, dtype=np.int64),
+                          dtype=jnp.int32)
+    return jnp.sum(sel * weights, axis=-1)
+
+
+def pack_descending(bits, high, low=0):
+    """mbe_bits_descending_to_int (mbe_bitpack.h:21-27): value from
+    bits[..., high..low], bit `high` is the MSB."""
+    idx = np.arange(high, low - 1, -1, dtype=np.int32)
+    return pack_msb_first(bits, idx)
+
+
+def soft_bit_from_llr(llr):
+    """mbe_softBitFromLlr (mbelib.c:125-132): llr>0 -> bit 1; reliability =
+    clamp(|llr|, 0, 255). llr: [...] int. Returns (bit, reliability) int32."""
+    llr = jnp.asarray(llr, jnp.int32)
+    bit = (llr > 0).astype(jnp.int32)
+    rel = jnp.clip(jnp.abs(llr), 0, 255).astype(jnp.int32)
+    return bit, rel
+
+
+def soft_bits_from_hard(bits, reliability=255):
+    """mbe_softBitsFromHard (mbelib.c:134-147)."""
+    b = jnp.asarray(bits, jnp.int32)
+    return b, jnp.full_like(b, reliability)

@@ -1,0 +1,153 @@
+"""Batched Golay(23,12) / Hamming(15,11) ECC kernels.
+
+TPU-native reformulation of the reference's scalar decoders
+(/root/reference/src/ecc/ecc.c):
+
+- Hard decodes become syndrome computation via small mod-2 matmuls plus a
+  LUT gather — pure int32 lane math, bit-exact vs the reference.
+- Soft decodes become a reliability-weighted score over the full codebook
+  (batch x 4096 x 23 for Golay), i.e. one f32 matmul on the MXU, with the
+  reference's three-level tie-break (score, matches-hard, fewer-diffs,
+  first-index — ecc.c:54-67) encoded into a single lexicographic int32 key
+  so the argmin stays vectorized.
+
+All functions take/return bit arrays with LSB at index 0 (matching the
+reference's in-memory convention) and operate over arbitrary leading batch
+dimensions.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..tables import T
+
+_POW2_23 = np.array([1 << i for i in range(23)], dtype=np.int32)
+_POW2_15 = np.array([1 << i for i in range(15)], dtype=np.int32)
+_POW2_12 = np.array([1 << i for i in range(12)], dtype=np.int32)
+_POW2_11 = np.array([1 << i for i in range(11)], dtype=np.int32)
+
+
+def golay2312_hard(bits):
+    """Decode Golay(23,12) codewords.
+
+    Args:
+      bits: [..., 23] int32 in {0,1}, LSB-first (parity 0..10, data 11..22).
+    Returns:
+      (out_bits [..., 23], errs [...]) — parity bits pass through uncorrected
+      and errs counts corrected data-bit errors (ecc.c:259-301).
+    """
+    bits = bits.astype(jnp.int32)
+    data_bits = bits[..., 11:]  # [..., 12]; data bit j of 12-bit word
+    # eccexpected parity bits: XOR of generator rows selected by data bits.
+    # Row i of golayGenerator pairs with codeword bit 22-i == data bit 11-i.
+    gb = jnp.asarray(T.golay_Gbits)  # [12, 11], row i = generator i bits
+    sel = data_bits[..., ::-1]  # index i -> codeword bit 22-i
+    ecc_expected = jnp.matmul(sel.astype(jnp.float32), gb.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+    ecc_expected = ecc_expected.astype(jnp.int32) & 1  # [..., 11]
+    syndrome_bits = ecc_expected ^ bits[..., :11]
+    syndrome = jnp.sum(syndrome_bits * jnp.asarray(_POW2_11), axis=-1)
+    mask = jnp.take(jnp.asarray(T.golayMatrix), syndrome, axis=0)  # [...]
+    corrected = data_bits ^ ((mask[..., None] >> jnp.arange(12, dtype=jnp.int32)) & 1)
+    errs = jnp.sum(corrected != data_bits, axis=-1).astype(jnp.int32)
+    out = jnp.concatenate([bits[..., :11], corrected], axis=-1)
+    return out, errs
+
+
+def check_golay_block(block):
+    """Packed-int variant of mbe_checkGolayBlock (ecc.c:221-251).
+
+    Args: block [...] int32, 23-bit codeword in the LSBs.
+    Returns: 12-bit corrected data word [...] int32.
+    """
+    block = block.astype(jnp.int32)
+    bits = (block[..., None] >> jnp.arange(23, dtype=jnp.int32)) & 1
+    out, _ = golay2312_hard(bits)
+    return jnp.sum(out[..., 11:] * jnp.asarray(_POW2_12), axis=-1)
+
+
+def _soft_decode(bits, rel, codewords, data_lo, n):
+    """Common exhaustive soft ML decode with the reference tie-break.
+
+    bits/rel: [..., n] int32; codewords: [ncw, n] numpy; data_lo: first bit
+    index counted for diffs/matches (11 for Golay data-only, 0 for Hamming).
+    Returns (best_codeword_bits [..., n], best_diffs [...]).
+    """
+    bits = bits.astype(jnp.int32)
+    rel = rel.astype(jnp.int32)
+    cw = jnp.asarray(codewords.astype(np.float32))  # [ncw, n]
+    ncw = codewords.shape[0]
+
+    # score_c = sum_i rel_i * (bit_i != cw_ci)
+    #         = sum_i rel_i*bit_i + sum_i rel_i*(1-2*bit_i)*cw_ci
+    base = jnp.sum(rel * bits, axis=-1)  # [...]
+    q = (rel * (1 - 2 * bits)).astype(jnp.float32)  # [..., n]
+    score = base[..., None] + jnp.matmul(
+        q, cw.T, preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    # diffs_c over bits [data_lo, n): hamming distance of hard bits vs cw.
+    h = bits[..., data_lo:].astype(jnp.float32)
+    cwd = cw[:, data_lo:]
+    # dist = sum h + sum cw - 2 h.cw
+    dist = (jnp.sum(h, axis=-1)[..., None] + jnp.sum(cwd, axis=-1)
+            - 2.0 * jnp.matmul(h, cwd.T, preferred_element_type=jnp.float32))
+    diffs = dist.astype(jnp.int32)  # [..., ncw]
+    return score, diffs, ncw
+
+
+def golay2312_soft(bits, rel):
+    """Soft Golay(23,12) (ecc.c:303-357).
+
+    bits/rel: [..., 23] int32 (hard decisions + reliabilities 0..255).
+    Returns (out_bits [..., 23], data_diffs [...]).
+    Output keeps the *input hard* parity bits (ecc.c:353-355).
+    """
+    score, diffs, ncw = _soft_decode(bits, rel, T.golay_codewords, 11, 23)
+
+    # matches_hard: candidate data == hard-decode(hard bits) data.
+    hard_out, _ = golay2312_hard(bits)
+    hard_packed = jnp.sum(hard_out[..., 11:] * jnp.asarray(_POW2_12), axis=-1)
+    cand_packed = jnp.asarray(T.golay_data_packed)  # [4096]
+    matches = (cand_packed[None, :] == hard_packed[..., None]).astype(jnp.int32)
+
+    idx = jnp.arange(ncw, dtype=jnp.int32)
+    key = (score << 17) | ((1 - matches) << 16) | (diffs << 12) | idx
+    best = jnp.argmin(key, axis=-1)  # first index wins ties
+
+    cw = jnp.asarray(T.golay_codewords.astype(np.int32))
+    best_cw = jnp.take(cw, best, axis=0)  # [..., 23]
+    out = jnp.concatenate([bits[..., :11], best_cw[..., 11:]], axis=-1)
+    best_diffs = jnp.take_along_axis(diffs, best[..., None], axis=-1)[..., 0]
+    return out, best_diffs
+
+
+def hamming1511_hard(bits, variant7100=False):
+    """Hamming(15,11) hard decode (ecc.c:366-464). 0/1 errors corrected."""
+    bits = bits.astype(jnp.int32)
+    hb = jnp.asarray(T.hamming_Hbits_7100 if variant7100 else T.hamming_Hbits_std)
+    syn_bits = jnp.matmul(bits.astype(jnp.float32), hb.astype(jnp.float32),
+                          preferred_element_type=jnp.float32).astype(jnp.int32) & 1
+    syndrome = jnp.sum(syn_bits * jnp.asarray([1, 2, 4, 8], dtype=jnp.int32), axis=-1)
+    lut = jnp.asarray(T.ham1511_7100_lut if variant7100 else T.ham1511_lut)
+    mask = jnp.take(lut, syndrome, axis=0)
+    out = bits ^ ((mask[..., None] >> jnp.arange(15, dtype=jnp.int32)) & 1)
+    errs = (syndrome > 0).astype(jnp.int32)
+    return out, errs
+
+
+def hamming1511_soft(bits, rel, variant7100=False):
+    """Soft Hamming(15,11) (ecc.c:157-215). Diffs counted over all 15 bits."""
+    cb = T.hamming_codewords_7100 if variant7100 else T.hamming_codewords_std
+    score, diffs, ncw = _soft_decode(bits, rel, cb, 0, 15)
+
+    hard_out, _ = hamming1511_hard(bits, variant7100)
+    hard_packed = jnp.sum(hard_out * jnp.asarray(_POW2_15), axis=-1)
+    packed = jnp.asarray(T.hamming_7100_packed if variant7100 else T.hamming_std_packed)
+    matches = (packed[None, :] == hard_packed[..., None]).astype(jnp.int32)
+
+    idx = jnp.arange(ncw, dtype=jnp.int32)
+    key = (score << 16) | ((1 - matches) << 15) | (diffs << 11) | idx
+    best = jnp.argmin(key, axis=-1)
+    out = jnp.take(jnp.asarray(cb.astype(np.int32)), best, axis=0)
+    best_diffs = jnp.take_along_axis(diffs, best[..., None], axis=-1)[..., 0]
+    return out, best_diffs

@@ -1,0 +1,148 @@
+"""Noise generators: unvoiced LCG (with affine jump) and Java-Random
+comfort noise — both as pure per-channel state transforms.
+
+Unvoiced LCG (mbe_unvoiced_fft.c:277-341): x' = (171x + 11213) mod 53125.
+The reference steps it 160x per frame; we use precomputed jump tables
+(lcg_A/lcg_B) to emit all samples in parallel: state_{n+k} = A[k]*state_n +
+B[k] mod 53125. Products are < 53125^2 < 2^32, exact in uint32.
+
+Comfort noise (mbe_adaptive.c:51-130): java.util.Random's 48-bit LCG
+seed' = (seed*0x5DEECE66D + 0xB) mod 2^48, output = top 24 bits mapped to
+uniform [-1,1) * gain. Implemented with three 16-bit limbs in uint32 lanes
+(JAX x64 stays disabled), advanced 160 steps per muted frame via lax.scan
+over time-major sample blocks... no — via precomputed per-sample jump is not
+possible cheaply for 48-bit multiplies, so we unroll the 160 steps with a
+compact fori-style scan inside the kernel; the per-step cost is ~15 int ops
+on 160 samples/channel, negligible vs the FFT path.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..tables import T
+
+LCG_M = 53125
+LCG_DEFAULT_SEED = 3147.0
+NOISE_OVERLAP = 96
+FFT_SIZE = 256
+
+# Java Random constants split into 16-bit limbs (mbe_adaptive.c:19-21).
+_JMULT = 0x5DEECE66D
+_JM0 = _JMULT & 0xFFFF
+_JM1 = (_JMULT >> 16) & 0xFFFF
+_JM2 = (_JMULT >> 32) & 0xFFFF
+_JADD = 0xB
+
+
+def lcg_block(seed_int, count=160):
+    """LCG samples and final state via affine jump.
+
+    Args:
+      seed_int: [...] uint32/int32 current LCG state (already mod 53125).
+      count: static int <= 160.
+    Returns:
+      (samples [..., count] int32 — value BEFORE each update, next_state [...]).
+    """
+    A = jnp.asarray(T.lcg_A[:count]).astype(jnp.uint32)
+    B = jnp.asarray(T.lcg_B[:count]).astype(jnp.uint32)
+    s = seed_int.astype(jnp.uint32)[..., None]
+    samples = (A * s + B) % jnp.uint32(LCG_M)
+    a_n = jnp.uint32(int(T.lcg_A[count]))
+    b_n = jnp.uint32(int(T.lcg_B[count]))
+    next_state = (a_n * seed_int.astype(jnp.uint32) + b_n) % jnp.uint32(LCG_M)
+    return samples.astype(jnp.int32), next_state.astype(jnp.int32)
+
+
+def generate_noise_with_overlap(noise_seed, noise_overlap, prime_value):
+    """Batched mbe_generate_noise_with_overlap (mbe_unvoiced_fft.c:305-341).
+
+    Args:
+      noise_seed: [C] float32 (LCG state as float; < 0 means cold start).
+      noise_overlap: [C, 96] float32.
+      prime_value: [C] float32 — state to prime with on cold start (3147 by
+        default, or seed%53125 after set_rng_seed; mbe_unvoiced_fft.c:313-321).
+    Returns:
+      (buffer [C, 256] f32, new_seed [C] f32, new_overlap [C, 96] f32).
+
+    Cold-start lanes (seed < 0) emit all-zero buffers and prime the seed.
+    """
+    cold = noise_seed < 0.0
+
+    state = noise_seed.astype(jnp.int32) % LCG_M  # safe for warm lanes
+    samples, next_state = lcg_block(jnp.maximum(state, 0), count=160)
+
+    warm_buffer = jnp.concatenate(
+        [noise_overlap, samples.astype(jnp.float32)], axis=-1)  # [C, 256]
+    warm_overlap = warm_buffer[..., FFT_SIZE - NOISE_OVERLAP:]
+
+    buffer = jnp.where(cold[..., None], 0.0, warm_buffer)
+    new_overlap = jnp.where(cold[..., None], 0.0, warm_overlap)
+    new_seed = jnp.where(cold, prime_value, next_state.astype(jnp.float32))
+    return buffer, new_seed, new_overlap
+
+
+def java_random_init(seed_u32):
+    """Java Random setSeed: state = (seed ^ 0x5DEECE66D) & 2^48-1, as three
+    16-bit limbs [..., 3] uint32 (mbe_adaptive.c:33-38). Zero seed maps to
+    0x6d25357b first (mbe_setThreadRngSeed, mbelib.c:174-180)."""
+    seed = jnp.where(seed_u32 == 0, jnp.uint32(0x6D25357B), seed_u32)
+    s = seed.astype(jnp.uint32)
+    s0 = (s & 0xFFFF) ^ jnp.uint32(_JM0)
+    s1 = ((s >> 16) & 0xFFFF) ^ jnp.uint32(_JM1)
+    s2 = jnp.zeros_like(s) ^ jnp.uint32(_JM2)  # seed's bits 32..47 are 0
+    return jnp.stack([s0, s1, s2], axis=-1)
+
+
+def _java_step(limbs):
+    """One Java Random LCG step on 16-bit limb state [..., 3] uint32.
+
+    Exact 48-bit arithmetic via 16x16 partial products (each < 2^32) with
+    explicit carry propagation; the top limb only needs mod 2^16 so uint32
+    wraparound in its sum is harmless.
+    """
+    s0 = limbs[..., 0]
+    s1 = limbs[..., 1]
+    s2 = limbs[..., 2]
+    m0, m1, m2 = jnp.uint32(_JM0), jnp.uint32(_JM1), jnp.uint32(_JM2)
+
+    p00 = s0 * m0
+    t0 = p00 + jnp.uint32(_JADD)
+    r0 = t0 & 0xFFFF
+    c0 = t0 >> 16
+
+    p01 = s0 * m1
+    p10 = s1 * m0
+    t1 = (p01 & 0xFFFF) + (p10 & 0xFFFF) + c0
+    r1 = t1 & 0xFFFF
+    c1 = (t1 >> 16) + (p01 >> 16) + (p10 >> 16)
+
+    t2 = s0 * m2 + s1 * m1 + s2 * m0 + c1
+    r2 = t2 & 0xFFFF
+    return jnp.stack([r0, r1, r2], axis=-1)
+
+
+def java_next_bits24(limbs):
+    """(new_limbs, value) — next(24) = top 24 bits of the 48-bit state."""
+    new = _java_step(limbs)
+    val = (new[..., 2] << 8) | (new[..., 1] >> 8)
+    return new, val
+
+
+def comfort_noise(limbs, n=160):
+    """160 comfort-noise samples + advanced RNG state
+    (mbe_synthesizeComfortNoisef, mbe_adaptive.c:117-131).
+
+    Args: limbs [..., 3] uint32 Java-Random state.
+    Returns: (samples [..., n] f32, new_limbs).
+    """
+    gain = jnp.float32((0.003 * 32767.0) / 7.0)
+
+    def step(carry, _):
+        new, val = java_next_bits24(carry)
+        u = (val.astype(jnp.float32) / jnp.float32(16777216.0)) * 2.0 - 1.0
+        return new, u * gain
+
+    new_limbs, samples = jax.lax.scan(step, limbs, None, length=n)
+    # scan stacks on axis 0 -> move to last axis
+    samples = jnp.moveaxis(samples, 0, -1)
+    return samples, new_limbs

@@ -1,0 +1,324 @@
+"""Speech/tone synthesis engine (batched over channels).
+
+TPU-native reformulation of the reference synthesis chain
+(mbelib.c:891-1105, mbe_unvoiced_fft.c:714-761):
+
+- The per-harmonic oscillator recurrences become closed-form
+  cos(phi + step*n) evaluations over a dense [C, 56, 160] grid with masked
+  accumulation — no sequential dependence inside a frame.
+- The 256-pt PFFFT pair becomes jnp.fft.rfft/irfft (XLA) over [C, 256].
+- WOLA, window, clipping are plain fused elementwise ops with precomputed
+  weight vectors.
+- Tone synthesis uses exact uint32 phase accumulators with per-tone-id
+  precomputed steps, vectorized as phase0 + step*(n+1) (mod 2^32).
+
+All "hot loop" stages of the reference (SURVEY.md §3.1) live here.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..tables import T
+from . import noise as noise_ops
+from .enhance import band_mask
+
+FRAME = 160
+FFT_SIZE = 256
+TWO_PI = np.float32(2.0 * np.pi)
+WHITE_NOISE_SCALAR = np.float32(2.0 * np.pi / 53125.0)
+SOFT_CLIP = np.float32((32767.0 * 0.95) / 7.0)
+UNVOICED_SCALE_COEFF = np.float32(146.17696)
+M_256_OVER_2PI = np.float32(256.0 / (2.0 * 3.14159265358979323846))
+
+_L_IDX_F = np.arange(57, dtype=np.float32)
+_L_IDX_I = np.arange(57, dtype=np.int32)
+_N_IDX = np.arange(FRAME, dtype=np.float32)
+
+
+def _wola_weights():
+    """Precomputed WOLA weight vectors (mbe_unvoiced_fft.c:159-170)."""
+    ws = np.asarray(T.Ws_synthesis, np.float32)  # [211], index n+105
+
+    def win(n):
+        return ws[n + 105] if -105 <= n <= 105 else np.float32(0.0)
+
+    w_prev = np.array([win(n) for n in range(FRAME)], np.float32)
+    w_curr = np.array([win(n - FRAME) for n in range(FRAME)], np.float32)
+    denom = w_prev * w_prev + w_curr * w_curr
+    return w_prev, w_curr, denom
+
+
+def _synthesis_window_256():
+    """256-tap window centered at 128 (mbe_unvoiced_fft.c:172-175)."""
+    ws = np.asarray(T.Ws_synthesis, np.float32)
+    out = np.zeros(FFT_SIZE, np.float32)
+    for i in range(FFT_SIZE):
+        k = i - 128
+        if -105 <= k <= 105:
+            out[i] = ws[k + 105]
+    return out
+
+
+_W_PREV, _W_CURR, _W_DENOM = None, None, None
+_WIN256 = None
+_TONE_STEPS = None
+
+
+def _lazy_tables():
+    global _W_PREV, _W_CURR, _W_DENOM, _WIN256, _TONE_STEPS
+    if _W_PREV is None:
+        _W_PREV, _W_CURR, _W_DENOM = _wola_weights()
+        _WIN256 = _synthesis_window_256()
+        # Exact uint32 tone phase steps per tone id (mbelib.c:692-699),
+        # computed in float64 exactly like the C double math.
+        freqs = np.asarray(T.tone_freqs, np.float64)  # [256, 2]
+        steps = (freqs / 8000.0) * 4294967296.0
+        steps = np.where(steps <= 0.0, 0.0, steps + 0.5).astype(np.uint64)
+        _TONE_STEPS = (steps & 0xFFFFFFFF).astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Phase update + model reconciliation (mbelib.c:912-951)
+# ---------------------------------------------------------------------------
+
+def reconcile_model_lengths(cur_L, cur_Ml, cur_Vl, prev_L, prev_Ml, prev_Vl):
+    """eq 128/129 (mbelib.c:912-929): zero-fill Ml / set Vl=1 above the
+    shorter model's L on whichever side is shorter. Returns
+    (maxl, cur_Ml, cur_Vl, prev_Ml, prev_Vl)."""
+    maxl = jnp.maximum(cur_L, prev_L)
+    li = _L_IDX_I[None, :]
+    grow_prev = (cur_L > prev_L)[:, None] & (li > prev_L[:, None]) & (li <= cur_L[:, None])
+    grow_cur = (cur_L <= prev_L)[:, None] & (li > cur_L[:, None]) & (li <= prev_L[:, None])
+    prev_Ml = jnp.where(grow_prev, 0.0, prev_Ml)
+    prev_Vl = jnp.where(grow_prev, 1, prev_Vl)
+    cur_Ml = jnp.where(grow_cur, 0.0, cur_Ml)
+    cur_Vl = jnp.where(grow_cur, 1, cur_Vl)
+    return maxl, cur_Ml, cur_Vl, prev_Ml, prev_Vl
+
+
+def count_unvoiced(Vl, L):
+    """numUv counts Vl[0..L] == 0 including index 0 (mbelib.c:901-910)."""
+    m = _L_IDX_I[None, :] <= L[:, None]
+    return jnp.sum(jnp.where(m & (Vl == 0), 1, 0), axis=-1)
+
+
+def update_phases(cur_w0, cur_L, cur_PSIl_old, cur_PHIl_old,
+                  prev_w0, prev_PSIl, noise_buffer, num_uv):
+    """mbe_update_speech_phases (mbelib.c:931-951) for l = 1..56.
+
+    Index 0 of every phase array is untouched (the C loop runs l=1..56).
+    Returns (cur_PSIl, cur_PHIl, prev_PSIl_wrapped).
+    noise_buffer: [C, 256] f32 LCG samples (phase jitter uses entries 1..56).
+    """
+    li = jnp.asarray(_L_IDX_F)[None, :]
+    psi_wrapped = jnp.mod(prev_PSIl, TWO_PI)
+    psi_wrapped = jnp.where(psi_wrapped < 0.0, psi_wrapped + TWO_PI, psi_wrapped)
+
+    lN = li * jnp.float32(FRAME)
+    cur_psi = psi_wrapped + (prev_w0 + cur_w0)[:, None] * (lN / jnp.float32(2.0))
+    pl = WHITE_NOISE_SCALAR * noise_buffer[:, :57] - jnp.float32(np.pi)
+    jitter = (num_uv.astype(jnp.float32)[:, None] * pl) / cur_L.astype(jnp.float32)[:, None]
+    low = _L_IDX_I[None, :] <= (cur_L // 4)[:, None]
+    cur_phi = jnp.where(low, cur_psi, cur_psi + jitter)
+
+    band0 = _L_IDX_I[None, :] == 0
+    cur_psi = jnp.where(band0, cur_PSIl_old, cur_psi)
+    cur_phi = jnp.where(band0, cur_PHIl_old, cur_phi)
+    psi_wrapped = jnp.where(band0, prev_PSIl, psi_wrapped)
+    return cur_psi, cur_phi, psi_wrapped
+
+
+# ---------------------------------------------------------------------------
+# Voiced synthesis (mbelib.c:953-1040) — hot loop #1
+# ---------------------------------------------------------------------------
+
+def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
+                  prev_w0, prev_Ml, prev_Vl, prev_PHIl, maxl):
+    """Voiced component: [C, 160] sum over harmonics.
+
+    Windowed oscillator path (mbelib.c:970-1018) in closed form:
+      prev: 2*prev_Ml * Ws[n+160] * cos(prev_PHIl + pw0*l*n)
+      cur:  2*cur_Ml  * Ws[n]     * cos(cur_PHIl + cw0*l*(n-160))
+    Interpolated path (mbelib.c:953-968) for l<8, both voiced, stable pitch.
+    """
+    ws = np.asarray(T.Ws, np.float32)  # [321]
+    w_cur = jnp.asarray(ws[:FRAME])        # Ws[n]
+    w_prev = jnp.asarray(ws[FRAME:2 * FRAME])  # Ws[n+160]
+
+    li = jnp.asarray(_L_IDX_F[1:])[None, :, None]      # [1,56,1]
+    lii = _L_IDX_I[None, 1:]                           # [1,56]
+    n = jnp.asarray(_N_IDX)[None, None, :]             # [1,1,160]
+
+    cw0 = cur_w0[:, None, None]
+    pw0 = prev_w0[:, None, None]
+    cw0l = cw0 * li
+    pw0l = pw0 * li
+
+    cur_v = (cur_Vl[:, 1:] == 1)
+    prev_v = (prev_Vl[:, 1:] == 1)
+    active = (lii <= maxl[:, None]) & (cur_v | prev_v)
+
+    cphi = cur_PHIl[:, 1:, None]
+    pphi = prev_PHIl[:, 1:, None]
+
+    theta_prev = pphi + pw0l * n
+    theta_cur = cphi + cw0l * (n - jnp.float32(FRAME))
+    comp_prev = (2.0 * prev_Ml[:, 1:, None]) * w_prev[None, None, :] * jnp.cos(theta_prev)
+    comp_cur = (2.0 * cur_Ml[:, 1:, None]) * w_cur[None, None, :] * jnp.cos(theta_cur)
+    windowed = (jnp.where(prev_v[..., None], comp_prev, 0.0)
+                + jnp.where(cur_v[..., None], comp_cur, 0.0))
+
+    # Interpolated path (JMBE #134-138)
+    use_interp = ((lii < 8) & cur_v & prev_v
+                  & (jnp.abs(cur_w0 - prev_w0)[:, None]
+                     < jnp.float32(0.1) * cur_w0[:, None]))
+    lN = li * jnp.float32(FRAME)
+    deltaphil = cphi[..., 0] - pphi[..., 0] - ((pw0 + cw0) * lN)[..., 0] / jnp.float32(2.0)
+    deltawl = (jnp.float32(1.0 / FRAME)
+               * (deltaphil - TWO_PI * jnp.floor((deltaphil + jnp.float32(np.pi)) / TWO_PI)))
+    theta_ln = (pphi + (pw0l + deltawl[..., None]) * n
+                + (cw0 - pw0) * li * n * n / jnp.float32(2 * FRAME))
+    aln = (prev_Ml[:, 1:, None]
+           + (n / jnp.float32(FRAME)) * (cur_Ml[:, 1:, None] - prev_Ml[:, 1:, None]))
+    interp = 2.0 * aln * jnp.cos(theta_ln)
+
+    contrib = jnp.where(use_interp[..., None], interp, windowed)
+    contrib = jnp.where(active[..., None], contrib, 0.0)
+    return jnp.sum(contrib, axis=1)  # [C, 160]
+
+
+# ---------------------------------------------------------------------------
+# Unvoiced FFT synthesis + WOLA (mbe_unvoiced_fft.c:714-761) — hot loop #2
+# ---------------------------------------------------------------------------
+
+def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
+    """JMBE #117-126. Returns (unvoiced_add [C,160], new_previousUw [C,256])."""
+    _lazy_tables()
+    uw = noise_buffer * jnp.asarray(_WIN256)[None, :]
+    X = jnp.fft.rfft(uw, axis=-1)  # [C, 129] complex64
+
+    # Band edges (mbe_unvoiced_fft.c:643-661)
+    mult = M_256_OVER_2PI * cur_w0  # [C]
+    lf = jnp.asarray(_L_IDX_F)[None, :]
+    a_min = jnp.ceil((lf - 0.5) * mult[:, None]).astype(jnp.int32)
+    b_max = jnp.ceil((lf + 0.5) * mult[:, None]).astype(jnp.int32)
+    a_min = jnp.maximum(a_min, 0)
+    b_max = jnp.minimum(b_max, FFT_SIZE // 2)
+
+    bins = jnp.arange(FFT_SIZE // 2 + 1, dtype=jnp.int32)[None, None, :]  # [1,1,129]
+    member = (bins >= a_min[..., None]) & (bins < b_max[..., None])  # [C,57,129]
+    lmask = band_mask(cur_L) & (cur_Vl == 0)
+
+    mag2 = jnp.abs(X) ** 2  # [C, 129] f32
+    numerator = jnp.sum(jnp.where(member, mag2[:, None, :], 0.0), axis=-1)  # [C,57]
+    bin_count = (b_max - a_min).astype(jnp.float32)
+    ok = lmask & (bin_count > 0) & (numerator > 1e-10)
+    denom = jnp.where(bin_count > 0, bin_count, 1.0)
+    mean = numerator / denom
+    scalor = UNVOICED_SCALE_COEFF * cur_Ml / jnp.sqrt(jnp.where(mean > 0, mean, 1.0))
+    scalor = jnp.where(ok, scalor, 0.0)
+
+    bin_scalor = jnp.sum(jnp.where(member & ok[..., None], scalor[..., None], 0.0),
+                         axis=1)  # [C, 129]
+    Xs = X * bin_scalor.astype(jnp.complex64)
+    uw_out = jnp.fft.irfft(Xs, n=FFT_SIZE, axis=-1).astype(jnp.float32)  # [C,256]
+
+    # WOLA combine (mbe_unvoiced_fft.c:343-530)
+    zeros32 = jnp.zeros((uw_out.shape[0], 32), jnp.float32)
+    prev_part = jnp.concatenate([previous_uw[:, 128:], zeros32], axis=-1)  # [C,160]
+    curr_part = jnp.concatenate([zeros32, uw_out[:, :128]], axis=-1)       # [C,160]
+    wp = jnp.asarray(_W_PREV)[None, :]
+    wc = jnp.asarray(_W_CURR)[None, :]
+    dn = jnp.asarray(_W_DENOM)[None, :]
+    add = jnp.where(dn > 1e-10, (wp * prev_part + wc * curr_part) / dn, 0.0)
+    return add, uw_out
+
+
+# ---------------------------------------------------------------------------
+# Tone synthesis (mbelib.c:691-856)
+# ---------------------------------------------------------------------------
+
+def parse_tone_fields(ambe_d):
+    """AD / ID1 extraction from 49 AMBE bits (mbelib.c:760-789).
+
+    Returns (AD [C] i32, ID1 [C] i32)."""
+    d = ambe_d.astype(jnp.int32)
+    w12 = jnp.asarray(1 << np.arange(11, -1, -1, dtype=np.int64), jnp.int32)
+    u0 = jnp.sum(d[:, 0:12] * w12, axis=-1)
+    u1 = jnp.sum(d[:, 12:24] * w12, axis=-1)
+    w14 = jnp.asarray(1 << np.arange(13, -1, -1, dtype=np.int64), jnp.int32)
+    u3 = jnp.sum(d[:, 35:49] * w14, axis=-1)
+    ad = ((u0 & 0x3F) << 1) + ((u3 >> 4) & 0x1)
+    id1 = (u1 & 0xFFF) >> 4
+    return ad, id1
+
+
+def render_tone(tone_id, amplitude_id, swn, tone_phase):
+    """mbe_renderTonef (mbelib.c:707-736), batched with exact uint32 phases.
+
+    Silence (all-zero output, state unchanged) for invalid tone ids or
+    freq1 <= 0. Returns (samples [C,160], swn', tonePhase').
+    """
+    _lazy_tables()
+    tid = jnp.clip(tone_id, 0, 255)
+    steps = jnp.asarray(_TONE_STEPS)  # [256, 2] uint32
+    freqs = jnp.asarray(T.tone_freqs)  # [256, 2] f32
+    valid = jnp.take(jnp.asarray(T.tone_valid), tid, axis=0) != 0
+    f1 = jnp.take(freqs[:, 0], tid, axis=0)
+    f2 = jnp.take(freqs[:, 1], tid, axis=0)
+    step1 = jnp.take(steps[:, 0], tid, axis=0)
+    step2_t = jnp.take(steps[:, 1], tid, axis=0)
+    active = valid & (f1 > 0.0)
+
+    dual = (f2 > 0.0) & (jnp.abs(f2 - f1) > 1e-6)
+    step2 = jnp.where(dual, step2_t, jnp.uint32(0))
+    gain = (jnp.maximum(amplitude_id, 0).astype(jnp.float32) / jnp.float32(127.0)) * SOFT_CLIP
+
+    nn = jnp.arange(1, FRAME + 1, dtype=jnp.uint32)[None, :]
+    ph1 = swn[:, None] + step1[:, None] * nn        # uint32 wrap == mod 2^32
+    ph2 = tone_phase[:, None] + step2[:, None] * nn
+
+    rad = jnp.float32(2.0 * np.pi / 4294967296.0)
+    s1 = jnp.sin(ph1.astype(jnp.float32) * rad - jnp.float32(np.pi / 2.0))
+    s2 = jnp.sin(ph2.astype(jnp.float32) * rad - jnp.float32(np.pi / 2.0))
+    samples = jnp.where(dual[:, None],
+                        0.5 * gain[:, None] * s1 + 0.5 * gain[:, None] * s2,
+                        gain[:, None] * s1)
+    samples = jnp.where(active[:, None], samples, 0.0)
+
+    new_swn = jnp.where(active, ph1[:, -1], swn)
+    new_tp = jnp.where(active & dual, ph2[:, -1], tone_phase)
+    return samples, new_swn, new_tp
+
+
+def dstar_tone_id(ambe_d):
+    """AMBE2400 scrambled tone index (ambe3600x2400.c:177-199)."""
+    d = ambe_d.astype(jnp.int32)
+    defv = (d[:, 6] << 2) | (d[:, 7] << 1) | d[:, 8]
+    t7 = jnp.take(jnp.asarray(T.dstar_t7tab), defv, axis=0)
+    t6 = jnp.take(jnp.asarray(T.dstar_t6tab), defv, axis=0)
+    t5 = jnp.take(jnp.asarray(T.dstar_t5tab), defv, axis=0)
+    return ((t7 << 7) | (t6 << 6) | (t5 << 5) | (d[:, 9] << 4)
+            | (d[:, 42] << 3) | (d[:, 43] << 2) | (d[:, 10] << 1) | d[:, 11])
+
+
+# ---------------------------------------------------------------------------
+# Output conversion (mbelib.c:669-689, 1148-1321) — hot loop #3
+# ---------------------------------------------------------------------------
+
+def clip_float(samples):
+    """Soft clip at (32767*0.95)/7 in float scale (mbelib.c:669-689)."""
+    return jnp.clip(samples, -SOFT_CLIP, SOFT_CLIP)
+
+
+def float_to_short(samples):
+    """mbe_floattoshort (mbelib.c:1148-1321): gain 7, clip ±32767*0.95,
+    NaN -> 0, ±Inf -> ±clip, truncation toward zero like the C cast."""
+    max_amp = jnp.float32(32767.0 * 0.95)
+    x = samples
+    is_nan = jnp.isnan(x)
+    is_inf = jnp.isinf(x)
+    audio = jnp.clip(jnp.float32(7.0) * x, -max_amp, max_amp)
+    audio = jnp.where(is_inf, jnp.sign(x) * max_amp, audio)
+    audio = jnp.where(is_nan, 0.0, audio)
+    return jnp.trunc(audio).astype(jnp.int16)

@@ -1,0 +1,421 @@
+"""1:1 mirror of the reference public API (include/mbelib-neo/mbelib.h).
+
+Naming: `mbe_processImbe7200x4400Framef` -> `process_imbe7200x4400_framef`
+etc. Every function operates on batched arrays ([C, ...]) and threads the
+`ChannelState` functionally instead of mutating caller-owned structs; with
+C == 1 these are drop-in equivalents of the single-stream reference calls.
+
+Status semantics: functions that the reference guards with
+MBE_STATUS_INVALID_ARGUMENT / MBE_STATUS_INVALID_BITS perform the same
+validation on host inputs via `validate_*` helpers (ops/bits.py) and raise
+`MbeInvalidBits` / `MbeInvalidArgument`, since a jitted kernel cannot return
+an errno. The underlying kernels themselves are total functions.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pipeline
+from .models import ambe, imbe, speech, state as state_mod
+from .ops import bits as bit_ops
+from .ops import ecc, noise
+from .ops import synth as synth_ops
+from .ops.enhance import adaptive_smoothing, spectral_amp_enhance  # noqa: F401
+
+# --- status / constants (mbelib.h:153-191, 679-686) ------------------------
+
+PROCESS_FLAG_SOFT_INPUT = pipeline.FLAG_SOFT_INPUT
+PROCESS_FLAG_C0_VALID = pipeline.FLAG_C0_VALID
+PROCESS_FLAG_C4_VALID = pipeline.FLAG_C4_VALID
+PROCESS_FLAG_TONE = pipeline.FLAG_TONE
+PROCESS_FLAG_ERASURE = pipeline.FLAG_ERASURE
+PROCESS_FLAG_REPEAT = pipeline.FLAG_REPEAT
+PROCESS_FLAG_MUTE = pipeline.FLAG_MUTE
+
+STATUS_INVALID_ARGUMENT = -1
+STATUS_INVALID_BITS = -2
+
+MAX_FRAME_REPEATS = state_mod.MAX_FRAME_REPEATS
+MUTING_THRESHOLD_IMBE = float(state_mod.MUTING_THRESHOLD_IMBE)
+MUTING_THRESHOLD_AMBE = float(state_mod.MUTING_THRESHOLD_AMBE)
+
+
+class MbeInvalidBits(ValueError):
+    """Input bits contained values other than 0/1 (MBE_STATUS_INVALID_BITS)."""
+
+
+class MbeInvalidArgument(ValueError):
+    """Invalid argument (MBE_STATUS_INVALID_ARGUMENT)."""
+
+
+def _check_bits(arr):
+    if bit_ops.validate_bits_host(np.asarray(arr)) != 0:
+        raise MbeInvalidBits("bits must be 0 or 1")
+
+
+# --- result helpers (mbelib.c:61-104) ---------------------------------------
+
+def init_process_result():
+    z = np.int32(0)
+    return dict(c0_errors=z, protected_errors=z, c4_errors=z,
+                total_errors=z, flags=np.int32(0))
+
+
+def format_process_result(result, size=256) -> str:
+    """mbe_formatProcessResult (mbelib.c:69-104): '='*total then E,T,R,M."""
+    total = max(int(result["total_errors"]), 0)
+    flags = int(result["flags"])
+    out = []
+    for _ in range(total):
+        if len(out) + 1 >= size:
+            break
+        out.append("=")
+    for flag, ch in ((PROCESS_FLAG_ERASURE, "E"), (PROCESS_FLAG_TONE, "T"),
+                     (PROCESS_FLAG_REPEAT, "R"), (PROCESS_FLAG_MUTE, "M")):
+        if flags & flag and len(out) + 1 < size:
+            out.append(ch)
+    return "".join(out)
+
+
+# --- soft-bit helpers (mbelib.c:117-158) ------------------------------------
+
+soft_bit_from_llr = bit_ops.soft_bit_from_llr
+soft_bits_from_hard = bit_ops.soft_bits_from_hard
+
+
+def soft_bit_from_hard(bit, reliability=255):
+    b = jnp.asarray(bit, jnp.int32)
+    return (b != 0).astype(jnp.int32), jnp.broadcast_to(
+        jnp.asarray(reliability, jnp.int32), b.shape)
+
+
+def soft_bits_from_llr(llr):
+    return bit_ops.soft_bit_from_llr(llr)
+
+
+# --- ECC (ecc.c) -------------------------------------------------------------
+
+check_golay_block = ecc.check_golay_block
+golay2312 = ecc.golay2312_hard
+golay2312_soft = ecc.golay2312_soft
+
+
+def hamming1511(bits):
+    return ecc.hamming1511_hard(bits, variant7100=False)
+
+
+def hamming1511_soft(bits, rel):
+    return ecc.hamming1511_soft(bits, rel, variant7100=False)
+
+
+def hamming1511_7100x4400(bits):
+    return ecc.hamming1511_hard(bits, variant7100=True)
+
+
+def hamming1511_7100x4400_soft(bits, rel):
+    return ecc.hamming1511_soft(bits, rel, variant7100=True)
+
+
+# --- core state management (mbelib.c:338-410) --------------------------------
+
+def init_mbe_parms(channels=1, rng_seed=None) -> state_mod.ChannelState:
+    """mbe_initMbeParms + mbe_setThreadRngSeed, batched."""
+    return state_mod.init_state(channels, rng_seed)
+
+
+def set_rng_seed(st: state_mod.ChannelState, seed) -> state_mod.ChannelState:
+    """mbe_setThreadRngSeed (mbelib.c:173-181): reseeds the comfort-noise
+    RNG and arms the unvoiced LCG cold-start override, per channel."""
+    c = st.lcg_prime.shape[0]
+    seed = jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), (c,))
+    seed = jnp.where(seed == 0, jnp.uint32(0x6D25357B), seed)
+    return dataclasses.replace(
+        st,
+        comfort_rng=noise.java_random_init(seed),
+        lcg_prime=(seed % jnp.uint32(noise.LCG_M)).astype(jnp.float32))
+
+
+def move_mbe_parms(src: state_mod.Parms) -> state_mod.Parms:
+    """mbe_moveMbeParms — functional copy (free in JAX)."""
+    return src
+
+
+use_last_mbe_parms = move_mbe_parms
+
+
+# --- synthesis (mbelib.c:641-1132, mbe_adaptive.c:117-149) -------------------
+
+def synthesize_silencef(channels):
+    return jnp.zeros((channels, 160), jnp.float32)
+
+
+def synthesize_silence(channels):
+    return jnp.zeros((channels, 160), jnp.int16)
+
+
+def synthesize_comfort_noisef(st: state_mod.ChannelState):
+    """mbe_synthesizeComfortNoisef — returns (samples [C,160], state')."""
+    samples, rng = noise.comfort_noise(st.comfort_rng)
+    return samples, dataclasses.replace(st, comfort_rng=rng)
+
+
+def synthesize_comfort_noise(st: state_mod.ChannelState):
+    samples, st = synthesize_comfort_noisef(st)
+    return synth_ops.float_to_short(samples), st
+
+
+def synthesize_speechf(st: state_mod.ChannelState):
+    """mbe_synthesizeSpeechf over (cur, prev): returns (audio, state')."""
+    rm0 = speech.current_frame_rm0(st.cur)
+    cn, new_rng = noise.comfort_noise(st.comfort_rng)
+    audio, cur, prev, aux = speech.synthesize_speech_core(
+        st.cur, st.prev, cn, st.lcg_prime, rm0)
+    rng = jnp.where(aux["mute"][:, None], new_rng, st.comfort_rng)
+    lcgp = jnp.where(aux["cold_consumed"], jnp.float32(3147.0), st.lcg_prime)
+    return audio, dataclasses.replace(st, cur=cur, prev=prev,
+                                      comfort_rng=rng, lcg_prime=lcgp)
+
+
+def synthesize_speech(st: state_mod.ChannelState):
+    audio, st = synthesize_speechf(st)
+    return synth_ops.float_to_short(audio), st
+
+
+def synthesize_tonef(ambe_d, st: state_mod.ChannelState):
+    """mbe_synthesizeTonef (mbelib.c:745-804): returns (audio, state')."""
+    ad, id1 = synth_ops.parse_tone_fields(jnp.asarray(ambe_d, jnp.int32))
+    audio, swn, tp = synth_ops.render_tone(id1, ad, st.cur.swn,
+                                           st.cur.tonePhase)
+    cur = dataclasses.replace(st.cur, swn=swn, tonePhase=tp)
+    return audio, dataclasses.replace(st, cur=cur)
+
+
+def synthesize_tonef_dstar(st: state_mod.ChannelState, id1):
+    """mbe_synthesizeTonefdstar (mbelib.c:813-856): AD=103, single tones."""
+    id1 = jnp.asarray(id1, jnp.int32)
+    valid = (id1 == 5) | (id1 == 6) | ((id1 >= 7) & (id1 <= 122))
+    tid = jnp.where(valid, id1, 0)
+    audio, swn, tp = synth_ops.render_tone(
+        tid, jnp.full_like(id1, 103), st.cur.swn, st.cur.tonePhase)
+    cur = dataclasses.replace(st.cur, swn=swn, tonePhase=tp)
+    return audio, dataclasses.replace(st, cur=cur)
+
+
+float_to_short = synth_ops.float_to_short
+
+
+def requires_muting(p: state_mod.Parms):
+    """mbe_requiresMuting (mbe_adaptive.c:87-93)."""
+    return p.errorRate > p.mutingThreshold
+
+
+def is_max_frame_repeat(p: state_mod.Parms):
+    """mbe_isMaxFrameRepeat (mbe_adaptive.c:101-107)."""
+    return p.repeatCount >= MAX_FRAME_REPEATS
+
+
+def requires_adaptive_smoothing(p: state_mod.Parms):
+    """mbe_requiresAdaptiveSmoothing (mbe_adaptive.c:70-76)."""
+    return (p.errorRate > 0.0125) | (p.errorCountTotal > 4)
+
+
+def apply_adaptive_smoothing(cur: state_mod.Parms, prev: state_mod.Parms):
+    """mbe_applyAdaptiveSmoothing (mbe_adaptive.c:268-276)."""
+    rm0 = speech.current_frame_rm0(cur)
+    Ml, Vl, le, at = adaptive_smoothing(
+        cur.Ml, cur.Vl, cur.L, cur.errorRate, cur.errorCountTotal,
+        cur.errorCount4, prev.localEnergy, prev.amplitudeThreshold, rm0)
+    return dataclasses.replace(cur, Ml=Ml, Vl=Vl, localEnergy=le,
+                               amplitudeThreshold=at)
+
+
+def spectral_amp_enhance_parms(cur: state_mod.Parms):
+    """mbe_spectralAmpEnhance[WithRm0] (mbelib.c:641-666)."""
+    Ml, rm0 = spectral_amp_enhance(cur.w0, cur.L, cur.Ml)
+    return dataclasses.replace(cur, Ml=Ml), rm0
+
+
+# --- per-codec stage functions ----------------------------------------------
+
+def ecc_ambe3600x2450_c0(frame, soft_rel=None):
+    """mbe_eccAmbe3600x2450C0 — returns (frame', c0_errors)."""
+    return _ambe_c0(frame, soft_rel)
+
+
+def ecc_ambe3600x2400_c0(frame, soft_rel=None):
+    return _ambe_c0(frame, soft_rel)
+
+
+def _ambe_c0(frame, soft_rel):
+    f = jnp.asarray(frame, jnp.int32)
+    if soft_rel is not None:
+        g_out, errs = ecc.golay2312_soft(f[:, 0, 1:24], soft_rel[:, 0, 1:24])
+    else:
+        g_out, errs = ecc.golay2312_hard(f[:, 0, 1:24])
+    bit0 = f[:, 0, 0]
+    ones = bit0 + jnp.sum(g_out, axis=-1)
+    fix = (errs == 0) & ((ones & 1) != 0)
+    bit0 = jnp.where(fix, bit0 ^ 1, bit0)
+    errs = jnp.where(fix, 1, errs)
+    fr0 = jnp.concatenate([bit0[:, None], g_out], axis=-1)
+    out = f.at[:, 0, :].set(fr0)
+    return out, errs
+
+
+def decode_ambe3600x2450_frame(frame, soft_rel=None):
+    """mbe_decodeAmbe3600x2450[Soft]Frame: (ambe_d, result dict)."""
+    d, c0, prot = ambe.decode_ambe3600_frame(jnp.asarray(frame, jnp.int32),
+                                             soft_rel)
+    return d, _mk_result(c0, prot, None, soft_rel is not None, c4_valid=False)
+
+
+decode_ambe3600x2400_frame = decode_ambe3600x2450_frame  # same common stage
+
+
+def decode_imbe7200x4400_frame(frame, soft_rel=None):
+    d, c0, prot, c4 = imbe.decode_imbe7200_frame(
+        jnp.asarray(frame, jnp.int32), soft_rel)
+    return d, _mk_result(c0, prot, c4, soft_rel is not None, c4_valid=True)
+
+
+def decode_imbe7100x4400_frame(frame, soft_rel=None):
+    d, c0, prot, c4 = imbe.decode_imbe7100_frame(
+        jnp.asarray(frame, jnp.int32), soft_rel)
+    return d, _mk_result(c0, prot, c4, soft_rel is not None, c4_valid=True)
+
+
+convert_imbe7100to7200 = imbe.convert_7100_to_7200
+
+
+def decode_imbe4400_parms(imbe_d, st: state_mod.ChannelState):
+    """mbe_decodeImbe4400Parms: returns (state', bad [C])."""
+    cur, prev, bad = imbe.decode_imbe4400_parms(
+        jnp.asarray(imbe_d, jnp.int32), st.cur, st.prev)
+    return dataclasses.replace(st, cur=cur, prev=prev), bad
+
+
+def decode_ambe2450_parms(ambe_d, st: state_mod.ChannelState,
+                          total_errors=None):
+    c = st.lcg_prime.shape[0]
+    te = (jnp.full((c,), -1, jnp.int32) if total_errors is None
+          else jnp.asarray(total_errors, jnp.int32))
+    cur, prev, bad = ambe.decode_ambe2450_parms(
+        jnp.asarray(ambe_d, jnp.int32), st.cur, st.prev, te)
+    return dataclasses.replace(st, cur=cur, prev=prev), bad
+
+
+def decode_ambe2400_parms(ambe_d, st: state_mod.ChannelState):
+    cur, prev, bad = ambe.decode_ambe2400_parms(
+        jnp.asarray(ambe_d, jnp.int32), st.cur, st.prev)
+    return dataclasses.replace(st, cur=cur, prev=prev), bad
+
+
+def _mk_result(c0, prot, c4, soft, c4_valid):
+    flags = pipeline.FLAG_C0_VALID
+    if soft:
+        flags |= pipeline.FLAG_SOFT_INPUT
+    if c4_valid:
+        flags |= pipeline.FLAG_C4_VALID
+    z = jnp.zeros_like(c0)
+    return dict(c0_errors=c0, protected_errors=prot,
+                c4_errors=c4 if c4 is not None else z,
+                total_errors=c0 + prot,
+                flags=jnp.full_like(c0, flags))
+
+
+# --- full process wrappers ---------------------------------------------------
+
+def _process(codec, frame, st, soft_rel, int16):
+    frame = jnp.asarray(frame, jnp.int32)
+    if int16:
+        return pipeline.step_int16(codec, frame, st, soft_rel)
+    return pipeline.step(codec, frame, st, soft_rel)
+
+
+def process_imbe7200x4400_framef(frame, st, soft_rel=None):
+    return _process("imbe7200", frame, st, soft_rel, False)
+
+
+def process_imbe7200x4400_frame(frame, st, soft_rel=None):
+    return _process("imbe7200", frame, st, soft_rel, True)
+
+
+def process_imbe7100x4400_framef(frame, st, soft_rel=None):
+    return _process("imbe7100", frame, st, soft_rel, False)
+
+
+def process_imbe7100x4400_frame(frame, st, soft_rel=None):
+    return _process("imbe7100", frame, st, soft_rel, True)
+
+
+def process_ambe3600x2450_framef(frame, st, soft_rel=None):
+    return _process("ambe2450", frame, st, soft_rel, False)
+
+
+def process_ambe3600x2450_frame(frame, st, soft_rel=None):
+    return _process("ambe2450", frame, st, soft_rel, True)
+
+
+def process_ambe3600x2400_framef(frame, st, soft_rel=None):
+    return _process("ambe2400", frame, st, soft_rel, False)
+
+
+def process_ambe3600x2400_frame(frame, st, soft_rel=None):
+    return _process("ambe2400", frame, st, soft_rel, True)
+
+
+def _process_data(process_fn, d, total_errors, c0_errors, c0_valid,
+                  c4_errors, c4_valid, st, imbe_path):
+    c = st.lcg_prime.shape[0]
+    te = jnp.asarray(total_errors, jnp.int32)
+    c0 = jnp.asarray(c0_errors, jnp.int32)
+    c0v = jnp.asarray(c0_valid, bool)
+    if imbe_path:
+        c4 = jnp.asarray(c4_errors, jnp.int32)
+        c4v = jnp.asarray(c4_valid, bool)
+        out = process_fn(jnp.asarray(d, jnp.int32), te, c0, c0v, c4, c4v,
+                         st.cur, st.prev, st.enh, st.comfort_rng,
+                         st.lcg_prime)
+    else:
+        out = process_fn(jnp.asarray(d, jnp.int32), te, c0, c0v,
+                         st.cur, st.prev, st.enh, st.comfort_rng,
+                         st.lcg_prime)
+    audio, cur, prev, enh, rng, lcgp, fsm = out
+    new_st = state_mod.ChannelState(cur=cur, prev=prev, enh=enh,
+                                    comfort_rng=rng, lcg_prime=lcgp)
+    return audio, new_st, fsm
+
+
+def process_imbe4400_dataf(imbe_d, st, total_errors, c0_errors=None,
+                           c4_errors=None):
+    """mbe_processImbe4400Dataf. c0/c4_errors None = context not available
+    (the Dataf fallback repeat rules, imbe7200x4400.c:815-822)."""
+    c = st.lcg_prime.shape[0]
+    z = jnp.zeros((c,), jnp.int32)
+    c0v = jnp.full((c,), c0_errors is not None)
+    c4v = jnp.full((c,), c4_errors is not None)
+    return _process_data(imbe.process_imbe4400, imbe_d, total_errors,
+                         z if c0_errors is None else c0_errors, c0v,
+                         z if c4_errors is None else c4_errors, c4v,
+                         st, imbe_path=True)
+
+
+def process_ambe2450_dataf(ambe_d, st, total_errors, c0_errors=None):
+    c = st.lcg_prime.shape[0]
+    z = jnp.zeros((c,), jnp.int32)
+    c0v = jnp.full((c,), c0_errors is not None)
+    return _process_data(ambe.process_ambe2450, ambe_d, total_errors,
+                         z if c0_errors is None else c0_errors, c0v,
+                         None, None, st, imbe_path=False)
+
+
+def process_ambe2400_dataf(ambe_d, st, total_errors, c0_errors=None):
+    c = st.lcg_prime.shape[0]
+    z = jnp.zeros((c,), jnp.int32)
+    c0v = jnp.full((c,), c0_errors is not None)
+    return _process_data(ambe.process_ambe2400, ambe_d, total_errors,
+                         z if c0_errors is None else c0_errors, c0v,
+                         None, None, st, imbe_path=False)

@@ -1,0 +1,508 @@
+"""AMBE 3600x2450 (DMR/NXDN) and 3600x2400 (D-STAR) codecs (batched).
+
+Covers the common C0/demod/49-bit packing stage (ambe_common.c), both
+parameter decoders, and both process FSMs (ambe3600x2450.c,
+ambe3600x2400.c). Frame-type branching (voice/tone/erasure/silence/repeat/
+mute) is computed for all lanes and committed with masks; the comfort-noise
+RNG advances exactly once per frame on lanes that emitted comfort noise.
+"""
+
+import dataclasses
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bits as bit_ops
+from ..ops import demod, ecc, noise
+from ..ops.enhance import spectral_amp_enhance
+from ..tables import T
+from . import spectral
+from .speech import current_frame_rm0, synthesize_speech_core
+from .state import (MUTING_THRESHOLD_AMBE, Parms, ambe_default_parms_like,
+                    erasure_parms, select)
+from ..ops import synth as synth_ops
+
+_RCONST = np.float32(1.0 / (2.0 * np.sqrt(2.0)))
+
+
+# ---------------------------------------------------------------------------
+# Common frame stage: C0 ECC + demod + 49-bit packing (ambe_common.c:22-189)
+# ---------------------------------------------------------------------------
+
+def decode_ambe3600_frame(frame, soft_rel=None):
+    """Batched mbe_decodeAmbe3600x24xxFrame common stage.
+
+    Args: frame [C, 4, 24] int32 (+ soft_rel for the soft path).
+    Returns: (ambe_d [C, 49], c0_errors [C], protected_errors [C]).
+    """
+    f = frame.astype(jnp.int32)
+    soft = soft_rel is not None
+
+    # C0: Golay over fr[0][1..23]; Golay24 even-parity fix of fr[0][0]
+    if soft:
+        g_out, c0_errs = ecc.golay2312_soft(f[:, 0, 1:24], soft_rel[:, 0, 1:24])
+    else:
+        g_out, c0_errs = ecc.golay2312_hard(f[:, 0, 1:24])
+    bit0 = f[:, 0, 0]
+    ones = bit0 + jnp.sum(g_out, axis=-1)
+    fix_parity = (c0_errs == 0) & ((ones & 1) != 0)
+    bit0 = jnp.where(fix_parity, bit0 ^ 1, bit0)
+    c0_errs = jnp.where(fix_parity, 1, c0_errs)
+    fr0 = jnp.concatenate([bit0[:, None], g_out], axis=-1)  # [C, 24]
+
+    # demod C1 with keystream from C0 bits 23..12 (ambe_common.c:75-100)
+    seed = 16 * bit_ops.pack_descending(fr0, 23, 12)
+    pr = demod.prng_bits(seed, 23)
+    fr1 = f[:, 1, :23] ^ pr[:, ::-1]  # applied j=22..0
+
+    # data ECC + 49-bit packing (ambe_common.c:127-157)
+    if soft:
+        g1_out, perrs = ecc.golay2312_soft(fr1, soft_rel[:, 1, :23])
+    else:
+        g1_out, perrs = ecc.golay2312_hard(fr1)
+
+    ambe_d = jnp.concatenate([
+        fr0[:, 23:11:-1],        # C0 bits 23..12 (12)
+        g1_out[:, 22:10:-1],     # C1 data bits 22..11 (12)
+        f[:, 2, 10::-1],         # C2 bits 10..0 (11)
+        f[:, 3, 13::-1],         # C3 bits 13..0 (14)
+    ], axis=-1)
+    return ambe_d, c0_errs, perrs
+
+
+# ---------------------------------------------------------------------------
+# Shared PRBA/HOC -> Tl machinery
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=2)
+def _tl_matrix(plus: bool):
+    """Dense Tl matrix [57, 57, 24]: Tl[l] = M[L][l] . vec(Cik[4][6])
+    (ambe3600x2450.c:365-387 / ambe3600x2400.c:403-425, with the k>6 zero
+    rule folded in)."""
+    lmprbl = np.asarray(T.AmbePlusLmprbl if plus else T.AmbeLmprbl)  # [57,4]
+    idct = np.asarray(T.ambe_idct_cos)  # [18,18,18]
+    M = np.zeros((57, 57, 24), np.float32)
+    for L in range(57):
+        l = 1
+        for i in range(4):
+            ji = lmprbl[L, i]
+            for j in range(1, ji + 1):
+                for k in range(1, min(ji, 6) + 1):
+                    ak = 1.0 if k == 1 else 2.0
+                    M[L, l, i * 6 + (k - 1)] = ak * idct[ji, j, k]
+                l += 1
+    return M
+
+
+@lru_cache(maxsize=2)
+def _ri_matrix():
+    """Ri[i] = sum_m am * Gm[m] * ri_cos[m][i], m,i in 1..8 -> [8, 8]."""
+    ri_cos = np.asarray(T.ambe_ri_cos)
+    M = np.zeros((8, 8), np.float32)
+    for m in range(1, 9):
+        for i in range(1, 9):
+            am = 1.0 if m == 1 else 2.0
+            M[m - 1, i - 1] = am * ri_cos[m, i]
+    return M
+
+
+def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
+    """Ri IDCT + Cik assembly + per-block IDCT, batched.
+
+    Gm: [C, 8] (Gm[0] must be 0). Returns Tl [C, 57].
+    """
+    Ri = jnp.matmul(Gm, jnp.asarray(_ri_matrix()),
+                    preferred_element_type=jnp.float32)  # [C, 8]
+
+    ra = Ri[:, 0::2]  # Ri[1,3,5,7] -> [C,4]
+    rb = Ri[:, 1::2]  # Ri[2,4,6,8]
+    c1 = jnp.float32(0.5) * (ra + rb)
+    c2 = _RCONST * (ra - rb)
+
+    if plus:
+        hoc5 = jnp.take(jnp.asarray(T.AmbePlusHOCb5), b5, axis=0)
+        hoc6 = jnp.take(jnp.asarray(T.AmbePlusHOCb6), b6, axis=0)
+        hoc7 = jnp.take(jnp.asarray(T.AmbePlusHOCb7), b7, axis=0)
+        hoc8 = jnp.take(jnp.asarray(T.AmbePlusHOCb8), b8, axis=0)
+    else:
+        hoc5 = jnp.take(jnp.asarray(T.AmbeHOCb5), b5, axis=0)
+        hoc6 = jnp.take(jnp.asarray(T.AmbeHOCb6), b6, axis=0)
+        hoc7 = jnp.take(jnp.asarray(T.AmbeHOCb7), b7, axis=0)
+        hoc8 = jnp.take(jnp.asarray(T.AmbeHOCb8), b8, axis=0)
+    hoc = jnp.stack([hoc5, hoc6, hoc7, hoc8], axis=1)  # [C, 4, 4] (k=3..6)
+
+    cik = jnp.concatenate([c1[..., None], c2[..., None], hoc], axis=-1)  # [C,4,6]
+    cik = cik.reshape(cik.shape[0], 24)
+    TlM = jnp.take(jnp.asarray(_tl_matrix(plus)), jnp.clip(L, 0, 56), axis=0)
+    return jnp.einsum("clk,ck->cl", TlM, cik)
+
+
+# ---------------------------------------------------------------------------
+# AMBE+2 3600x2450 decode (ambe3600x2450.c:176-621)
+# ---------------------------------------------------------------------------
+
+def tone_verified_2450(ambe_d):
+    """JMBE tone classification checks (ambe3600x2450.c:474-491)."""
+    d = ambe_d.astype(jnp.int32)
+    w12 = jnp.asarray(1 << np.arange(11, -1, -1, dtype=np.int64), jnp.int32)
+    u0 = jnp.sum(d[:, 0:12] * w12, axis=-1)
+    u1 = jnp.sum(d[:, 12:24] * w12, axis=-1)
+    w14 = jnp.asarray(1 << np.arange(13, -1, -1, dtype=np.int64), jnp.int32)
+    u3 = jnp.sum(d[:, 35:49] * w14, axis=-1)
+    return ((u0 >> 6) & 0x3F) == 63, (u3 & 0xF) == 0, \
+        ((u1 >> 8) & 0xF) == (u1 & 0xF)
+
+
+def tone_id_2450(ambe_d):
+    """ID1 = ambe_d bits 12..19 MSB-first (ambe3600x2450.c:80-89)."""
+    return bit_ops.pack_msb_first(ambe_d, np.arange(12, 20, dtype=np.int32))
+
+
+def decode_ambe2450_parms(ambe_d, cur: Parms, prev: Parms, total_errors):
+    """Batched mbe_decodeAmbe2450ParmsInternal (ambe3600x2450.c:564-621).
+
+    total_errors: [C] i32, or negatives to disable the tone BER gate.
+    Returns (cur', prev', bad [C]: 0 voice/silence, 2 erasure, 7 tone).
+    """
+    d = ambe_d.astype(jnp.int32)
+
+    t0, t3, t1 = tone_verified_2450(d)
+    gate = (total_errors < 6) | (total_errors < 0)
+    tone = t0 & (t3 | t1) & gate
+
+    b0 = bit_ops.pack_msb_first(
+        d, np.array([0, 1, 2, 3, 37, 38, 39], np.int32))
+    sil = ~tone & ((b0 == 124) | (b0 == 125))
+    era = ~tone & ~sil & (b0 >= 120)
+    voice = ~tone & ~sil & ~era
+    bad = jnp.where(tone, 7, jnp.where(era, 2, 0))
+
+    b0v = jnp.clip(b0, 0, 119)
+    sil_f0 = jnp.float32(float(T.ambe2450_silence_f0_w0[0]))
+    sil_w0 = jnp.float32(float(T.ambe2450_silence_f0_w0[1]))
+    f0 = jnp.where(sil, sil_f0, jnp.take(jnp.asarray(T.AmbeW0table), b0v))
+    w0 = jnp.where(sil, sil_w0, jnp.take(jnp.asarray(T.ambe2450_w0_by_b0), b0v))
+    L = jnp.where(sil, jnp.where(b0 == 124, 15, 14),
+                  jnp.take(jnp.asarray(T.AmbeLtable), b0v).astype(jnp.int32))
+
+    unvc = jnp.float32(0.2046) / jnp.sqrt(w0)
+
+    # V/UV (ambe3600x2450.c:197-219); silence zeroes Vl[1..L] instead
+    b1 = ((d[:, 4] << 4) | (d[:, 5] << 3) | (d[:, 6] << 2) | (d[:, 7] << 1)
+          | d[:, 35])
+    lf = jnp.arange(57, dtype=jnp.float32)[None, :]
+    li = jnp.arange(57, dtype=jnp.int32)[None, :]
+    jl = (lf * jnp.float32(16.0) * f0[:, None]).astype(jnp.int32)
+    jl = jnp.clip(jl, 0, 7)
+    vuv = jnp.asarray(T.AmbeVuv)  # [32, 8]
+    v_tab = vuv[b1[:, None], jl]
+    in_band = (li >= 1) & (li <= L[:, None])
+    Vl = jnp.where(in_band & sil[:, None], 0,
+                   jnp.where(in_band & ~sil[:, None], v_tab, cur.Vl))
+
+    # gain (ambe3600x2450.c:598-607)
+    b2 = ((d[:, 8] << 4) | (d[:, 9] << 3) | (d[:, 10] << 2) | (d[:, 11] << 1)
+          | d[:, 36])
+    gamma = jnp.take(jnp.asarray(T.AmbeDg), b2) + jnp.float32(0.5) * prev.gamma
+
+    # PRBA (ambe3600x2450.c:221-273)
+    b3 = ((d[:, 12] << 8) | (d[:, 13] << 7) | (d[:, 14] << 6) | (d[:, 15] << 5)
+          | (d[:, 16] << 4) | (d[:, 17] << 3) | (d[:, 18] << 2)
+          | (d[:, 19] << 1) | d[:, 40])
+    b4 = ((d[:, 20] << 6) | (d[:, 21] << 5) | (d[:, 22] << 4) | (d[:, 23] << 3)
+          | (d[:, 41] << 2) | (d[:, 42] << 1) | d[:, 43])
+    gm24 = jnp.take(jnp.asarray(T.AmbePRBA24), b3, axis=0)  # [C, 3]
+    gm58 = jnp.take(jnp.asarray(T.AmbePRBA58), b4, axis=0)  # [C, 4]
+    Gm = jnp.concatenate(
+        [jnp.zeros_like(gamma)[:, None], gm24, gm58], axis=-1)  # [C, 8]
+
+    b5 = ((d[:, 24] << 4) | (d[:, 25] << 3) | (d[:, 26] << 2) | (d[:, 27] << 1)
+          | d[:, 44])
+    b6 = (d[:, 28] << 3) | (d[:, 29] << 2) | (d[:, 30] << 1) | d[:, 45]
+    b7 = (d[:, 31] << 3) | (d[:, 32] << 2) | (d[:, 33] << 1) | d[:, 46]
+    b8 = (d[:, 34] << 2) | (d[:, 47] << 1) | d[:, 48]
+    Tl = _tl_from_codes(L, Gm, b5, b6, b7, b8, plus=False)
+
+    Ml_n, log2_n, pM, pLg, cL = spectral.spectral_update(
+        L, prev.L, prev.Ml, prev.log2Ml, Tl,
+        weight=jnp.full_like(gamma, 0.65), gamma=gamma, unvc=unvc, Vl=Vl,
+        cur_Ml=cur.Ml, cur_log2Ml=cur.log2Ml)
+
+    ok = voice | sil
+    okc = ok[:, None]
+    cur_out = dataclasses.replace(
+        cur,
+        w0=jnp.where(ok, w0, cur.w0),
+        L=jnp.where(ok, cL, cur.L),
+        Vl=jnp.where(okc, Vl, cur.Vl),
+        gamma=jnp.where(ok, gamma, cur.gamma),
+        Ml=jnp.where(okc, Ml_n, cur.Ml),
+        log2Ml=jnp.where(okc, log2_n, cur.log2Ml))
+    prev_out = dataclasses.replace(
+        prev,
+        Ml=jnp.where(okc, pM, prev.Ml),
+        log2Ml=jnp.where(okc, pLg, prev.log2Ml))
+    return cur_out, prev_out, bad
+
+
+# ---------------------------------------------------------------------------
+# AMBE 3600x2400 decode (ambe3600x2400.c:164-546)
+# ---------------------------------------------------------------------------
+
+def decode_ambe2400_parms(ambe_d, cur: Parms, prev: Parms):
+    """Batched mbe_decodeAmbe2400Parms.
+
+    Returns (cur', prev', bad [C]): 0 voice, 3 tone/silence classify,
+    5..122 D-STAR tone index.
+    """
+    d = ambe_d.astype(jnp.int32)
+
+    b0 = bit_ops.pack_msb_first(
+        d, np.array([0, 1, 2, 3, 4, 5, 48], np.int32))
+    tone_b0 = (b0 & 0x7E) == 0x7E
+    tone_index = synth_ops.dstar_tone_id(d)
+    single_tone = tone_b0 & (tone_index >= 5) & (tone_index <= 122)
+    dual_range = tone_b0 & (tone_index >= 128) & (tone_index <= 163)
+    silence = tone_b0 & ~single_tone & ~dual_range
+    bad = jnp.where(single_tone, tone_index,
+                    jnp.where(tone_b0, 3, 0))
+    voice = ~tone_b0
+
+    b0v = jnp.clip(b0, 0, 125)
+    f0 = jnp.take(jnp.asarray(T.ambe2400_f0_by_b0), b0v)
+    w0 = jnp.where(silence, jnp.float32(float(T.ambe2400_silence_w0[0])),
+                   jnp.take(jnp.asarray(T.ambe2400_w0_by_b0), b0v))
+    L = jnp.where(silence, 14,
+                  jnp.take(jnp.asarray(T.AmbePlusLtable), b0v).astype(jnp.int32))
+    unvc = jnp.float32(0.2046) / jnp.sqrt(w0)
+
+    # V/UV (ambe3600x2400.c:244-263); silence zeroes Vl[1..14]
+    b1 = (d[:, 38] << 3) | (d[:, 39] << 2) | (d[:, 40] << 1) | d[:, 41]
+    lf = jnp.arange(57, dtype=jnp.float32)[None, :]
+    li = jnp.arange(57, dtype=jnp.int32)[None, :]
+    jl = jnp.clip((lf * jnp.float32(16.0) * f0[:, None]).astype(jnp.int32), 0, 7)
+    v_tab = jnp.asarray(T.AmbePlusVuv)[b1[:, None], jl]
+    in_band = (li >= 1) & (li <= L[:, None])
+    Vl = jnp.where(in_band & silence[:, None], 0,
+                   jnp.where(in_band & voice[:, None], v_tab, cur.Vl))
+
+    b2 = ((d[:, 6] << 5) | (d[:, 7] << 4) | (d[:, 8] << 3) | (d[:, 9] << 2)
+          | (d[:, 42] << 1) | d[:, 43])
+    gamma = jnp.take(jnp.asarray(T.AmbePlusDg), b2) + jnp.float32(0.5) * prev.gamma
+
+    b3 = ((d[:, 10] << 8) | (d[:, 11] << 7) | (d[:, 12] << 6) | (d[:, 13] << 5)
+          | (d[:, 14] << 4) | (d[:, 15] << 3) | (d[:, 16] << 2)
+          | (d[:, 44] << 1) | d[:, 45])
+    b4 = ((d[:, 17] << 6) | (d[:, 18] << 5) | (d[:, 19] << 4) | (d[:, 20] << 3)
+          | (d[:, 21] << 2) | (d[:, 46] << 1) | d[:, 47])
+    gm24 = jnp.take(jnp.asarray(T.AmbePlusPRBA24), b3, axis=0)
+    gm58 = jnp.take(jnp.asarray(T.AmbePlusPRBA58), b4, axis=0)
+    Gm = jnp.concatenate(
+        [jnp.zeros_like(gamma)[:, None], gm24, gm58], axis=-1)
+
+    b5 = (d[:, 22] << 3) | (d[:, 23] << 2) | (d[:, 25] << 1) | d[:, 26]
+    b6 = (d[:, 27] << 3) | (d[:, 28] << 2) | (d[:, 29] << 1) | d[:, 30]
+    b7 = (d[:, 31] << 3) | (d[:, 32] << 2) | (d[:, 33] << 1) | d[:, 34]
+    b8 = (d[:, 35] << 3) | (d[:, 36] << 2) | (d[:, 37] << 1)
+    Tl = _tl_from_codes(L, Gm, b5, b6, b7, b8, plus=True)
+
+    Ml_n, log2_n, pM, pLg, cL = spectral.spectral_update(
+        L, prev.L, prev.Ml, prev.log2Ml, Tl,
+        weight=jnp.full_like(gamma, 0.65), gamma=gamma, unvc=unvc, Vl=Vl,
+        cur_Ml=cur.Ml, cur_log2Ml=cur.log2Ml)
+
+    # silence writes only w0/L/Vl (ambe3600x2400.c:202-210); voice writes all
+    model = voice | silence
+    cur_out = dataclasses.replace(
+        cur,
+        w0=jnp.where(model, w0, cur.w0),
+        L=jnp.where(model, jnp.where(voice, cL, L), cur.L),
+        Vl=jnp.where(model[:, None], Vl, cur.Vl),
+        gamma=jnp.where(voice, gamma, cur.gamma),
+        Ml=jnp.where(voice[:, None], Ml_n, cur.Ml),
+        log2Ml=jnp.where(voice[:, None], log2_n, cur.log2Ml))
+    prev_out = dataclasses.replace(
+        prev,
+        Ml=jnp.where(voice[:, None], pM, prev.Ml),
+        log2Ml=jnp.where(voice[:, None], pLg, prev.log2Ml))
+    return cur_out, prev_out, bad
+
+
+# ---------------------------------------------------------------------------
+# Process FSMs
+# ---------------------------------------------------------------------------
+
+def _ambe_prepare(total_errors, cur: Parms, prev: Parms, enh: Parms,
+                  rate_coeff):
+    """Common prepare: ensure AMBE defaults + error-rate IIR
+    (ambe3600x2450.c:716-747 / ambe3600x2400.c:629-659)."""
+    need_init = jnp.abs(prev.mutingThreshold - MUTING_THRESHOLD_AMBE) > 1e-6
+    defaults = ambe_default_parms_like(cur)
+    cur = select(need_init, defaults, cur)
+    prev = select(need_init, defaults, prev)
+    enh = select(need_init, defaults, enh)
+
+    cur = dataclasses.replace(
+        cur,
+        mutingThreshold=jnp.full_like(cur.mutingThreshold,
+                                      MUTING_THRESHOLD_AMBE),
+        errorCountTotal=total_errors,
+        errorCount4=jnp.zeros_like(cur.errorCount4),
+        errorRate=(jnp.float32(0.95) * prev.errorRate
+                   + rate_coeff * total_errors.astype(jnp.float32)))
+    return cur, prev, enh
+
+
+def _speech_paths(cur: Parms, prev: Parms, enh: Parms, voice_ok, tone_replay,
+                  comfort_samples, lcg_prime):
+    """Single shared speech-core invocation covering both the voice path
+    (enhance cur, synth vs enh) and the invalid-tone replay path (synth enh
+    vs enh; ambe3600x2450.c:801-820).
+
+    Returns (audio, synth_cur_out, prev_raw, core_mute).
+    prev_raw is the pre-enhancement cur (C: moveMbeParms(cur, prev) before
+    enhancement, ambe3600x2450.c:789)."""
+    prev_raw = cur
+    Ml_e, rm0_v = spectral_amp_enhance(cur.w0, cur.L, cur.Ml)
+    cur_enh = dataclasses.replace(cur, Ml=Ml_e)
+
+    synth_cur = select(tone_replay, enh, cur_enh)
+    rm0 = jnp.where(tone_replay, current_frame_rm0(enh),
+                    jnp.where(voice_ok, rm0_v, 0.0))
+    audio, synth_cur2, _enh_mut, aux = synthesize_speech_core(
+        synth_cur, enh, comfort_samples, lcg_prime, rm0)
+    return audio, synth_cur2, prev_raw, aux
+
+
+def process_ambe2450(ambe_d, total_errors, c0_errors, c0_valid,
+                     cur: Parms, prev: Parms, enh: Parms, comfort_rng,
+                     lcg_prime):
+    """Batched mbe_processAmbe2450Dataf (ambe3600x2450.c:851-877).
+
+    Returns (audio [C,160], cur', prev', enh', comfort_rng', flags dict).
+    """
+    cur, prev, enh = _ambe_prepare(total_errors, cur, prev, enh,
+                                   jnp.float32(0.001064))
+    c0e = jnp.where(c0_valid, c0_errors, 0)
+
+    cur, prev, bad = decode_ambe2450_parms(ambe_d, cur, prev, total_errors)
+
+    # -- update_decode_state (ambe3600x2450.c:760-783) ----------------------
+    is_era = bad == 2
+    is_tone = bad == 7
+    rep = ((bad == 0)
+           & jnp.where(c0_valid, (c0e >= 4) | ((c0e >= 2) & (total_errors >= 6)),
+                       total_errors > 3))
+    cur_z = dataclasses.replace(cur, repeatCount=jnp.zeros_like(cur.repeatCount))
+    cur_era = erasure_parms(cur_z, prev)
+    cur_rep = dataclasses.replace(prev, repeatCount=prev.repeatCount + 1)
+    cur = select(is_era, cur_era,
+                 select(is_tone, cur_z, select(rep, cur_rep, cur_z)))
+
+    # -- synthesize_frame (ambe3600x2450.c:831-849) --------------------------
+    voice = bad == 0
+    voice_ok = voice & (cur.repeatCount < 4)
+    voice_mute = voice & ~voice_ok
+    tone_valid = jnp.take(jnp.asarray(T.tone_valid), tone_id_2450(ambe_d)) != 0
+    tone_play = is_tone & tone_valid
+    tone_replay = is_tone & ~tone_valid & (prev.repeatCount < 4)
+    tone_cn = is_tone & ~tone_valid & ~tone_replay
+
+    cn, new_rng = noise.comfort_noise(comfort_rng)
+    audio_s, synth_out, prev_raw, aux = _speech_paths(
+        cur, prev, enh, voice_ok, tone_replay, cn, lcg_prime)
+
+    ad, id1 = synth_ops.parse_tone_fields(ambe_d)
+    tone_audio, swn2, tp2 = synth_ops.render_tone(id1, ad, cur.swn,
+                                                  cur.tonePhase)
+
+    cn_lanes = voice_mute | tone_cn | is_era
+    do_speech = voice_ok | tone_replay
+    audio = jnp.where(do_speech[:, None], audio_s,
+                      jnp.where(tone_play[:, None], tone_audio,
+                                jnp.where(cn_lanes[:, None], cn, 0.0)))
+
+    rng_used = (do_speech & aux["mute"]) | cn_lanes
+    comfort_rng = jnp.where(rng_used[:, None], new_rng, comfort_rng)
+    lcg_prime = jnp.where(do_speech & aux["cold_consumed"],
+                          jnp.float32(3147.0), lcg_prime)
+
+    # -- state commits -------------------------------------------------------
+    defaults = ambe_default_parms_like(cur)
+    reinit = voice_mute | tone_cn
+
+    cur_tone = dataclasses.replace(cur, swn=swn2, tonePhase=tp2)
+    cur = select(voice_ok, synth_out,
+                 select(tone_play, cur_tone,
+                        select(reinit, defaults, cur)))
+    prev = select(voice_ok, prev_raw,
+                  select(is_era, cur,  # erasure: prev <- cur (erasure model)
+                         select(reinit, defaults, prev)))
+    enh = select(voice_ok | tone_replay, synth_out,
+                 select(is_era, cur,
+                        select(reinit, defaults, enh)))
+
+    flags = dict(erasure=is_era, tone=is_tone, repeat=rep,
+                 mute=voice_mute)
+    return audio, cur, prev, enh, comfort_rng, lcg_prime, flags
+
+
+def process_ambe2400(ambe_d, total_errors, c0_errors, c0_valid,
+                     cur: Parms, prev: Parms, enh: Parms, comfort_rng,
+                     lcg_prime):
+    """Batched mbe_processAmbe2400Dataf (ambe3600x2400.c:732-762)."""
+    cur, prev, enh = _ambe_prepare(total_errors, cur, prev, enh,
+                                   jnp.float32(0.001064))
+    c0e = jnp.where(c0_valid, c0_errors, 0)
+
+    cur, prev, bad = decode_ambe2400_parms(ambe_d, cur, prev)
+
+    # -- update_decode_state (ambe3600x2400.c:661-686) -----------------------
+    is_tone3 = bad == 3
+    dstar_tone = (bad >= 7) & (bad <= 122) & (c0e < 2) & (total_errors < 3)
+    passthru = is_tone3 | dstar_tone
+    rep = ~passthru & (total_errors > 3)
+    cur_z = dataclasses.replace(cur, repeatCount=jnp.zeros_like(cur.repeatCount))
+    cur_rep = dataclasses.replace(prev, repeatCount=prev.repeatCount + 1)
+    cur = select(is_tone3, cur_z,
+                 select(dstar_tone, cur,
+                        select(rep, cur_rep, cur_z)))
+
+    # -- synthesize_frame (ambe3600x2400.c:711-730) ---------------------------
+    voice = bad == 0
+    voice_ok = voice & (cur.repeatCount < 4)
+    voice_mute = voice & ~voice_ok
+
+    cn, new_rng = noise.comfort_noise(comfort_rng)
+    audio_s, synth_out, prev_raw, aux = _speech_paths(
+        cur, prev, enh, voice_ok, jnp.zeros_like(voice_ok), cn, lcg_prime)
+
+    # D-STAR tone: fixed amplitude 103, single tone by index (mbelib.c:813-856)
+    tone_audio, swn2, tp2 = synth_ops.render_tone(
+        jnp.clip(bad, 0, 255), jnp.full_like(bad, 103), cur.swn, cur.tonePhase)
+
+    cn_lanes = voice_mute | (~voice & ~dstar_tone)  # bad==3, 5/6, noisy tones
+    audio = jnp.where(voice_ok[:, None], audio_s,
+                      jnp.where(dstar_tone[:, None], tone_audio,
+                                jnp.where(cn_lanes[:, None], cn, 0.0)))
+
+    rng_used = (voice_ok & aux["mute"]) | cn_lanes
+    comfort_rng = jnp.where(rng_used[:, None], new_rng, comfort_rng)
+    lcg_prime = jnp.where(voice_ok & aux["cold_consumed"],
+                          jnp.float32(3147.0), lcg_prime)
+
+    defaults = ambe_default_parms_like(cur)
+    cur_tone = dataclasses.replace(cur, swn=swn2, tonePhase=tp2)
+    cur = select(voice_ok, synth_out,
+                 select(dstar_tone, cur_tone,
+                        select(cn_lanes, defaults, cur)))
+    prev = select(voice_ok, prev_raw,
+                  select(dstar_tone, cur,  # prev <- cur after tone
+                         select(cn_lanes, defaults, prev)))
+    enh = select(voice_ok, synth_out,
+                 select(cn_lanes, defaults, enh))
+
+    flags = dict(erasure=jnp.zeros_like(voice), tone=is_tone3, repeat=rep,
+                 mute=voice_mute)
+    return audio, cur, prev, enh, comfort_rng, lcg_prime, flags

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import bits as bit_ops
-from ..ops import demod, ecc
+from ..ops import demod, ecc, noise
 from ..tables import T
 from . import spectral
 from .state import Parms, MUTING_THRESHOLD_IMBE
@@ -413,9 +413,12 @@ def process_imbe4400(imbe_d, total_errors, c0_errors, c0_valid, c4_errors,
     prev = cur  # prev <- cur (functional copy)
     Ml_e, rm0 = spectral_amp_enhance(cur.w0, cur.L, cur.Ml)
     cur = dataclasses.replace(cur, Ml=Ml_e)
-    audio, cur, enh, comfort_rng = synthesize_speech_core(
-        cur, enh, comfort_rng, lcg_prime, rm0)
+    cn, new_rng = noise.comfort_noise(comfort_rng)
+    audio, cur, enh, aux = synthesize_speech_core(cur, enh, cn, lcg_prime, rm0)
+    comfort_rng = jnp.where(aux["mute"][:, None], new_rng, comfort_rng)
+    lcg_prime = jnp.where(aux["cold_consumed"], jnp.float32(3147.0), lcg_prime)
     enh = cur  # prev_enh <- cur
 
-    return audio, cur, prev, enh, comfort_rng, dict(repeat=rep, mute=muted)
+    return (audio, cur, prev, enh, comfort_rng, lcg_prime,
+            dict(repeat=rep, mute=muted))
 

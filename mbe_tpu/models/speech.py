@@ -30,19 +30,28 @@ def should_mute(cur: Parms):
                                      & (cur.errorRate > cur.mutingThreshold))
 
 
-def synthesize_speech_core(cur: Parms, prev: Parms, comfort_rng, lcg_prime,
-                           rm0):
+def synthesize_speech_core(cur: Parms, prev: Parms, comfort_samples,
+                           lcg_prime, rm0):
     """One batched frame of speech synthesis.
+
+    The comfort-noise RNG is owned by the caller: pass this frame's
+    precomputed comfort-noise samples; the returned `mute` mask tells the
+    caller which lanes consumed them (so it can commit the RNG advance
+    exactly once per frame across all comfort-noise consumers).
 
     Args:
       cur, prev: Parms (prev is prev_mp_enhanced in the process paths).
-      comfort_rng: [C, 3] uint32 Java-Random limbs.
+      comfort_samples: [C, 160] f32 comfort noise for this frame.
       lcg_prime: [C] f32 cold-start LCG prime values.
       rm0: [C] f32 pre-enhancement spectral energy (pass the enhance result;
         for the plain mbe_synthesizeSpeechf path pass the Σ Ml² of cur —
         mbe_adaptive.c:151-161).
     Returns:
-      (audio [C, 160] f32, cur', prev', comfort_rng')
+      (audio [C, 160] f32, cur', prev', aux) where aux carries [C] bool
+      masks: `mute` (lanes that consumed the comfort samples) and
+      `cold_consumed` (lanes whose one-shot LCG seed override was consumed —
+      mbe_unvoiced_fft.c:315-318; the caller must reset lcg_prime to 3147 on
+      lanes it commits).
     """
     valid = _valid_L(cur.L) & _valid_L(prev.L)
 
@@ -60,11 +69,8 @@ def synthesize_speech_core(cur: Parms, prev: Parms, comfort_rng, lcg_prime,
     mute = should_mute(cur) & valid
     speak = valid & ~mute
 
-    # --- comfort noise (committed on muted lanes only) --------------------
-    cn, new_rng = noise.comfort_noise(comfort_rng)
-    comfort_rng = jnp.where(mute[:, None], new_rng, comfort_rng)
-
     # --- noise buffer (LCG state advances on speaking lanes only) ---------
+    cold_consumed = speak & (cur.noiseSeed < 0.0)
     noise_buf, new_seed, new_overlap = noise.generate_noise_with_overlap(
         cur.noiseSeed, cur.noiseOverlap, lcg_prime)
 
@@ -84,7 +90,7 @@ def synthesize_speech_core(cur: Parms, prev: Parms, comfort_rng, lcg_prime,
     speech = synth.clip_float(voiced + unvoiced_add)
 
     audio = jnp.where(speak[:, None], speech,
-                      jnp.where(mute[:, None], cn, 0.0))
+                      jnp.where(mute[:, None], comfort_samples, 0.0))
 
     sp = speak[:, None]
     cur = dataclasses.replace(
@@ -101,7 +107,7 @@ def synthesize_speech_core(cur: Parms, prev: Parms, comfort_rng, lcg_prime,
         Ml=jnp.where(sp, p_Ml, prev.Ml),
         Vl=jnp.where(sp, p_Vl, prev.Vl),
         PSIl=jnp.where(sp, p_psi, prev.PSIl))
-    return audio, cur, prev, comfort_rng
+    return audio, cur, prev, dict(mute=mute, cold_consumed=cold_consumed)
 
 
 def current_frame_rm0(cur: Parms):

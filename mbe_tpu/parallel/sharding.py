@@ -1,0 +1,64 @@
+"""Multi-chip scale-out: pure data parallelism over the channel axis.
+
+The decoder has no cross-channel math (SURVEY.md §5: each stream's state
+lives on one chip; no collectives in the hot path), so multi-chip scaling is
+a `jax.sharding.Mesh` over channels with every [C, ...] leaf sharded on its
+leading axis. Host I/O per channel is tiny (<=96 bits in, 320 B PCM out per
+20 ms), ideal for double-buffered device_put + donated state.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import pipeline
+from ..models import state as state_mod
+
+
+def channel_mesh(devices=None, axis_name: str = "ch") -> Mesh:
+    """1-D device mesh over the channel axis."""
+    devices = np.array(jax.devices() if devices is None else devices)
+    return Mesh(devices, (axis_name,))
+
+
+def shard_state(state: state_mod.ChannelState, mesh: Mesh,
+                axis_name: str = "ch") -> state_mod.ChannelState:
+    """Shard every [C, ...] leaf along its leading (channel) axis."""
+    def put(x):
+        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, state)
+
+
+def sharded_step(codec: str, mesh: Mesh, axis_name: str = "ch",
+                 donate: bool = True):
+    """jit-compiled decode+synth step with channel-sharded in/out.
+
+    Returns fn(frame [C,rows,cols], state) -> (state', pcm [C,160], result).
+    The state is donated so per-frame updates are in-place on device.
+    """
+    data_spec = NamedSharding(mesh, P(axis_name))
+
+    def _step(frame, state):
+        st, audio, res, _ = pipeline.step(codec, frame, state)
+        return st, audio, res
+
+    out_shardings = (None, data_spec, None)  # let XLA propagate state/res
+    return jax.jit(_step,
+                   in_shardings=(data_spec, None),
+                   out_shardings=None,
+                   donate_argnums=(1,) if donate else ())
+
+
+def sharded_sequence(codec: str, mesh: Mesh, axis_name: str = "ch"):
+    """jit-compiled lax.scan over [T, C, ...] frames with channel sharding."""
+    data_spec = NamedSharding(mesh, P(None, axis_name))
+
+    def _run(frames, state):
+        return pipeline.run_sequence(codec, frames, state)
+
+    return jax.jit(_run, in_shardings=(data_spec, None),
+                   donate_argnums=(1,))

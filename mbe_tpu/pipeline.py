@@ -1,0 +1,128 @@
+"""Fused per-frame decode+synthesis steps and time-scan drivers.
+
+These are the framework's main entry points: one jitted step per codec that
+takes a batch of frames ([C, rows, cols] bitplanes) plus the channel state
+and returns (state', pcm [C, 160], result). Throughput comes from the
+channel axis; the strict frame-to-frame state dependency (phases, WOLA
+overlap, LCG, error IIR — SURVEY.md §5) is carried by `lax.scan` in
+`run_sequence`.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .models import ambe, imbe
+from .models.state import ChannelState
+from .ops import synth as synth_ops
+
+FLAG_SOFT_INPUT = 0x0001
+FLAG_C0_VALID = 0x0002
+FLAG_C4_VALID = 0x0004
+FLAG_TONE = 0x0010
+FLAG_ERASURE = 0x0020
+FLAG_REPEAT = 0x0040
+FLAG_MUTE = 0x0080
+
+CODECS = ("imbe7200", "imbe7100", "ambe2450", "ambe2400")
+FRAME_SHAPES = {
+    "imbe7200": (8, 23),
+    "imbe7100": (7, 24),
+    "ambe2450": (4, 24),
+    "ambe2400": (4, 24),
+}
+DBITS = {"imbe7200": 88, "imbe7100": 88, "ambe2450": 49, "ambe2400": 49}
+
+
+def _result(c0, prot, c4, flags_int):
+    total = c0 + prot
+    return dict(c0_errors=c0, protected_errors=prot,
+                c4_errors=c4 if c4 is not None else jnp.zeros_like(c0),
+                total_errors=total, flags=flags_int)
+
+
+def _pack_flags(base, fsm):
+    flags = jnp.full_like(fsm["repeat"].astype(jnp.int32), base)
+    if "erasure" in fsm:
+        flags = flags | jnp.where(fsm["erasure"], FLAG_ERASURE, 0)
+    if "tone" in fsm:
+        flags = flags | jnp.where(fsm["tone"], FLAG_TONE, 0)
+    flags = flags | jnp.where(fsm["repeat"], FLAG_REPEAT, 0)
+    flags = flags | jnp.where(fsm["mute"], FLAG_MUTE, 0)
+    return flags
+
+
+def step(codec: str, frame, state: ChannelState, soft_rel=None):
+    """Full decode + process for one 20 ms frame across all channels.
+
+    Args:
+      codec: one of CODECS.
+      frame: [C, rows, cols] int32 bitplanes (hard bits or soft hard
+        decisions).
+      state: ChannelState.
+      soft_rel: [C, rows, cols] int32 reliabilities for the soft path.
+    Returns:
+      (state', audio [C, 160] f32, result dict of [C] arrays, ambe_d)
+    """
+    soft = soft_rel is not None
+    base = (FLAG_SOFT_INPUT if soft else 0) | FLAG_C0_VALID
+
+    if codec == "imbe7200":
+        d, c0, prot, c4 = imbe.decode_imbe7200_frame(frame, soft_rel)
+        base |= FLAG_C4_VALID
+    elif codec == "imbe7100":
+        d, c0, prot, c4 = imbe.decode_imbe7100_frame(frame, soft_rel)
+        base |= FLAG_C4_VALID
+    elif codec in ("ambe2450", "ambe2400"):
+        d, c0, prot = ambe.decode_ambe3600_frame(frame, soft_rel)
+        c4 = jnp.zeros_like(c0)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+
+    total = c0 + prot
+    true_mask = jnp.ones_like(c0, dtype=bool)
+
+    if codec.startswith("imbe"):
+        audio, cur, prev, enh, rng, lcgp, fsm = imbe.process_imbe4400(
+            d, total, c0, true_mask, c4, true_mask,
+            state.cur, state.prev, state.enh, state.comfort_rng,
+            state.lcg_prime)
+    elif codec == "ambe2450":
+        audio, cur, prev, enh, rng, lcgp, fsm = ambe.process_ambe2450(
+            d, total, c0, true_mask, state.cur, state.prev, state.enh,
+            state.comfort_rng, state.lcg_prime)
+    else:
+        audio, cur, prev, enh, rng, lcgp, fsm = ambe.process_ambe2400(
+            d, total, c0, true_mask, state.cur, state.prev, state.enh,
+            state.comfort_rng, state.lcg_prime)
+
+    new_state = ChannelState(cur=cur, prev=prev, enh=enh, comfort_rng=rng,
+                             lcg_prime=lcgp)
+    res = _result(c0, prot, c4, _pack_flags(base, fsm))
+    return new_state, audio, res, d
+
+
+def step_int16(codec: str, frame, state: ChannelState, soft_rel=None):
+    """step() + float->int16 conversion (the `short` API variants)."""
+    new_state, audio, res, d = step(codec, frame, state, soft_rel)
+    return new_state, synth_ops.float_to_short(audio), res, d
+
+
+def run_sequence(codec: str, frames, state: ChannelState, soft_rel=None,
+                 int16=False):
+    """Scan a [T, C, rows, cols] frame sequence through the decoder.
+
+    Returns (state', pcm [T, C, 160], results dict of [T, C] arrays).
+    """
+    def body(st, inp):
+        if soft_rel is None:
+            fr, sr = inp, None
+        else:
+            fr, sr = inp
+        st, audio, res, _ = step(codec, fr, st, sr)
+        if int16:
+            audio = synth_ops.float_to_short(audio)
+        return st, (audio, res)
+
+    inputs = frames if soft_rel is None else (frames, soft_rel)
+    state, (pcm, results) = jax.lax.scan(body, state, inputs)
+    return state, pcm, results

@@ -10,6 +10,7 @@ RNG advances exactly once per frame on lanes that emitted comfort noise.
 import dataclasses
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,12 +108,25 @@ def _ri_matrix():
     return M
 
 
+def _onehot_rows(idx, table):
+    """Gather-as-matmul: rows of `table` [G, ...] selected by idx [C]."""
+    table = np.asarray(table, np.float32)
+    g = table.shape[0]
+    onehot = jax.nn.one_hot(idx, g, dtype=jnp.float32)
+    flat = jnp.matmul(onehot, jnp.asarray(table.reshape(g, -1)),
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    return flat.reshape((idx.shape[0],) + table.shape[1:])
+
+
 def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
     """Ri IDCT + Cik assembly + per-block IDCT, batched.
 
-    Gm: [C, 8] (Gm[0] must be 0). Returns Tl [C, 57].
+    Gm: [C, 8] (Gm[0] must be 0). Returns Tl [C, 57]. All table lookups run
+    as one-hot MXU matmuls (TPU gathers are slow).
     """
-    Ri = jnp.matmul(Gm, jnp.asarray(_ri_matrix()),
+    hp = jax.lax.Precision.HIGHEST
+    Ri = jnp.matmul(Gm, jnp.asarray(_ri_matrix()), precision=hp,
                     preferred_element_type=jnp.float32)  # [C, 8]
 
     ra = Ri[:, 0::2]  # Ri[1,3,5,7] -> [C,4]
@@ -121,21 +135,22 @@ def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
     c2 = _RCONST * (ra - rb)
 
     if plus:
-        hoc5 = jnp.take(jnp.asarray(T.AmbePlusHOCb5), b5, axis=0)
-        hoc6 = jnp.take(jnp.asarray(T.AmbePlusHOCb6), b6, axis=0)
-        hoc7 = jnp.take(jnp.asarray(T.AmbePlusHOCb7), b7, axis=0)
-        hoc8 = jnp.take(jnp.asarray(T.AmbePlusHOCb8), b8, axis=0)
+        hoc5 = _onehot_rows(b5, T.AmbePlusHOCb5)
+        hoc6 = _onehot_rows(b6, T.AmbePlusHOCb6)
+        hoc7 = _onehot_rows(b7, T.AmbePlusHOCb7)
+        hoc8 = _onehot_rows(b8, T.AmbePlusHOCb8)
     else:
-        hoc5 = jnp.take(jnp.asarray(T.AmbeHOCb5), b5, axis=0)
-        hoc6 = jnp.take(jnp.asarray(T.AmbeHOCb6), b6, axis=0)
-        hoc7 = jnp.take(jnp.asarray(T.AmbeHOCb7), b7, axis=0)
-        hoc8 = jnp.take(jnp.asarray(T.AmbeHOCb8), b8, axis=0)
+        hoc5 = _onehot_rows(b5, T.AmbeHOCb5)
+        hoc6 = _onehot_rows(b6, T.AmbeHOCb6)
+        hoc7 = _onehot_rows(b7, T.AmbeHOCb7)
+        hoc8 = _onehot_rows(b8, T.AmbeHOCb8)
     hoc = jnp.stack([hoc5, hoc6, hoc7, hoc8], axis=1)  # [C, 4, 4] (k=3..6)
 
     cik = jnp.concatenate([c1[..., None], c2[..., None], hoc], axis=-1)  # [C,4,6]
     cik = cik.reshape(cik.shape[0], 24)
-    TlM = jnp.take(jnp.asarray(_tl_matrix(plus)), jnp.clip(L, 0, 56), axis=0)
-    return jnp.einsum("clk,ck->cl", TlM, cik)
+    TlM = _onehot_rows(jnp.clip(L, 0, 56), _tl_matrix(plus))  # [C, 57, 24]
+    return jnp.einsum("clk,ck->cl", TlM, cik, precision=hp,
+                      preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -195,8 +210,10 @@ def decode_ambe2450_parms(ambe_d, cur: Parms, prev: Parms, total_errors):
     li = jnp.arange(57, dtype=jnp.int32)[None, :]
     jl = (lf * jnp.float32(16.0) * f0[:, None]).astype(jnp.int32)
     jl = jnp.clip(jl, 0, 7)
-    vuv = jnp.asarray(T.AmbeVuv)  # [32, 8]
-    v_tab = vuv[b1[:, None], jl]
+    vrow = _onehot_rows(b1, T.AmbeVuv)  # [C, 8]
+    v_tab = jnp.sum(
+        jnp.where(jl[:, :, None] == jnp.arange(8)[None, None, :],
+                  vrow[:, None, :], 0.0), axis=-1).astype(jnp.int32)
     in_band = (li >= 1) & (li <= L[:, None])
     Vl = jnp.where(in_band & sil[:, None], 0,
                    jnp.where(in_band & ~sil[:, None], v_tab, cur.Vl))
@@ -212,8 +229,8 @@ def decode_ambe2450_parms(ambe_d, cur: Parms, prev: Parms, total_errors):
           | (d[:, 19] << 1) | d[:, 40])
     b4 = ((d[:, 20] << 6) | (d[:, 21] << 5) | (d[:, 22] << 4) | (d[:, 23] << 3)
           | (d[:, 41] << 2) | (d[:, 42] << 1) | d[:, 43])
-    gm24 = jnp.take(jnp.asarray(T.AmbePRBA24), b3, axis=0)  # [C, 3]
-    gm58 = jnp.take(jnp.asarray(T.AmbePRBA58), b4, axis=0)  # [C, 4]
+    gm24 = _onehot_rows(b3, T.AmbePRBA24)  # [C, 3]
+    gm58 = _onehot_rows(b4, T.AmbePRBA58)  # [C, 4]
     Gm = jnp.concatenate(
         [jnp.zeros_like(gamma)[:, None], gm24, gm58], axis=-1)  # [C, 8]
 
@@ -282,7 +299,10 @@ def decode_ambe2400_parms(ambe_d, cur: Parms, prev: Parms):
     lf = jnp.arange(57, dtype=jnp.float32)[None, :]
     li = jnp.arange(57, dtype=jnp.int32)[None, :]
     jl = jnp.clip((lf * jnp.float32(16.0) * f0[:, None]).astype(jnp.int32), 0, 7)
-    v_tab = jnp.asarray(T.AmbePlusVuv)[b1[:, None], jl]
+    vrow = _onehot_rows(b1, T.AmbePlusVuv)  # [C, 8]
+    v_tab = jnp.sum(
+        jnp.where(jl[:, :, None] == jnp.arange(8)[None, None, :],
+                  vrow[:, None, :], 0.0), axis=-1).astype(jnp.int32)
     in_band = (li >= 1) & (li <= L[:, None])
     Vl = jnp.where(in_band & silence[:, None], 0,
                    jnp.where(in_band & voice[:, None], v_tab, cur.Vl))
@@ -296,8 +316,8 @@ def decode_ambe2400_parms(ambe_d, cur: Parms, prev: Parms):
           | (d[:, 44] << 1) | d[:, 45])
     b4 = ((d[:, 17] << 6) | (d[:, 18] << 5) | (d[:, 19] << 4) | (d[:, 20] << 3)
           | (d[:, 21] << 2) | (d[:, 46] << 1) | d[:, 47])
-    gm24 = jnp.take(jnp.asarray(T.AmbePlusPRBA24), b3, axis=0)
-    gm58 = jnp.take(jnp.asarray(T.AmbePlusPRBA58), b4, axis=0)
+    gm24 = _onehot_rows(b3, T.AmbePlusPRBA24)
+    gm58 = _onehot_rows(b4, T.AmbePlusPRBA58)
     Gm = jnp.concatenate(
         [jnp.zeros_like(gamma)[:, None], gm24, gm58], axis=-1)
 

@@ -28,22 +28,83 @@ _B0_IDX = np.array([0, 1, 2, 3, 4, 5, 85, 86], np.int32)
 
 @lru_cache(maxsize=1)
 def _decode_tables():
-    """Host-precomputed dense layouts for the 48 distinct L values."""
+    """Host-precomputed dense layouts for the 48 distinct L values.
+
+    TPU note: per-lane gathers/scatters are slow on TPU, but every value the
+    decoder reads out of the bb[58][12] bit scatter (voicing bits, gain
+    codes, HOC codes) is LINEAR in the 88 input bits with L-dependent
+    weights. We therefore precompute one weight tensor W[48, 88, 116] and
+    evaluate all of them per frame as one-hot-selected MXU matmuls — no
+    scatter, no big gather. Output columns of W:
+      0..55   Vl bit for band l=1..56 (weight 1 at the source bit)
+      56      b2 gain index (weights 2^t)
+      57..61  gain codes bm for i=2..6
+      62..115 HOC codes bm for (i, k-2) in [6, 9]
+    """
     Ji = np.asarray(T.ImbeJi)          # [48, 6]
     hoba = np.asarray(T.hoba)          # [48, 50]
     idct = np.asarray(T.imbe_idct_cos)  # [11,11,11] cosf table
+    L_by_b0 = np.asarray(T.imbe_L_by_b0)
+    bo = np.asarray(T.bo)              # [48, 79, 2]
+    ba = np.asarray(T.ba)              # [48, 5, 2]
 
-    # m index for HOC coefficient (i, k): m = 8 + running offset
-    m_idx = np.full((48, 6, 9), -1, np.int32)  # k-2 in 0..8 (k<=10)
+    # source d-index for each bb position: bb[row][t] <- d[6+n]
+    src = np.full((48, 58, 12), -1, np.int32)
     for L9 in range(48):
+        for n in range(79):
+            src[L9, bo[L9, n, 0], bo[L9, n, 1]] = 6 + n
+
+    # K for each L9 (imbe7200x4400.c:144-148)
+    K_of = np.zeros(48, np.int32)
+    for L9 in range(48):
+        L = L9 + 9
+        K_of[L9] = (L + 2) // 3 if L < 37 else 12
+
+    NOUT = 116
+    W = np.zeros((48, 88, NOUT), np.float32)
+    m_valid = np.zeros((48, 6, 9), bool)
+    hoc_qfac = np.zeros((48, 54), np.float32)   # quantstep*standdev (f32)
+    hoc_off = np.zeros((48, 54), np.float32)    # exp2f(Bm-1)
+    gain_bits = ba[:, :, 0].astype(np.int32)    # [48, 5]
+    qs = np.asarray(T.quantstep)
+    sd = np.asarray(T.standdev)
+    for L9 in range(48):
+        K = K_of[L9]
+        # voicing: Vl[l] = bb[1][max(K-1-(l-1)//3, 0)]
+        for l in range(1, 57):
+            t = max(K - 1 - (l - 1) // 3, 0)
+            s = src[L9, 1, t]
+            if s >= 0:
+                W[L9, s, l - 1] = 1.0
+        # b2 = bits_descending(bb[2], 5, 0)
+        for t in range(6):
+            s = src[L9, 2, t]
+            if s >= 0:
+                W[L9, s, 56] = float(1 << t)
+        # gains i=2..6: bm over ba_bits bits of bb[i+1]
+        for i in range(2, 7):
+            nb = gain_bits[L9, i - 2]
+            for t in range(nb):
+                s = src[L9, i + 1, t]
+                if s >= 0:
+                    W[L9, s, 57 + (i - 2)] = float(1 << t)
+        # HOC: slot (i, k-2) reads Bm bits of bb[m]
         m = 8
         for i in range(6):
             for k in range(2, Ji[L9, i] + 1):
-                m_idx[L9, i, k - 2] = m
+                slot = i * 9 + (k - 2)
+                Bm = hoba[L9, m - 8]
+                m_valid[L9, i, k - 2] = Bm > 0
+                if Bm > 0:
+                    for t in range(Bm):
+                        s = src[L9, m, t]
+                        if s >= 0:
+                            W[L9, s, 62 + slot] = float(1 << t)
+                    hoc_qfac[L9, slot] = np.float32(qs[Bm - 1]) * np.float32(sd[k - 2])
+                    hoc_off[L9, slot] = np.float32(2.0) ** np.float32(Bm - 1)
                 m += 1
 
-    # Tl matrix: Tl[l] = sum_{k} ak * Cik[i_of_l][k] * idct[ji][j][k]
-    # flattened over (i, k) -> 60 columns.
+    # Tl matrix (per L9): Tl[l] = sum_k ak * Cik[i_of_l][k] * idct[ji][j][k]
     TlM = np.zeros((48, 57, 60), np.float32)
     for L9 in range(48):
         l = 1
@@ -63,12 +124,25 @@ def _decode_tables():
             am = 1.0 if m == 1 else 2.0
             RiM[m - 1, i - 1] = am * ri_cos[m, i]
 
-    return dict(m_idx=m_idx, TlM=TlM, RiM=RiM,
-                bo_flat=(np.asarray(T.bo)[:, :, 0] * 12
-                         + np.asarray(T.bo)[:, :, 1]).astype(np.int32),
-                ba_bits=np.asarray(T.ba)[:, :, 0].astype(np.int32),  # [48,5]
-                ba_step=np.asarray(T.ba)[:, :, 1].astype(np.float32),
-                hoba=hoba.astype(np.int32))
+    # gain dequant constants: step and exp2f(nb-1)
+    gain_step = ba[:, :, 1].astype(np.float32)        # [48, 5]
+    gain_off = (2.0 ** (gain_bits - 1)).astype(np.float32)
+
+    return dict(
+        W=W.reshape(48, 88 * NOUT), NOUT=NOUT,
+        TlM2=TlM.reshape(48, 57 * 60), RiM=RiM,
+        m_valid=m_valid.reshape(48, 54),
+        hoc_qfac=hoc_qfac, hoc_off=hoc_off,
+        gain_step=gain_step, gain_off=gain_off,
+        L_by_b0=L_by_b0)
+
+
+def _onehot_select(onehot, table2d, out_shape):
+    """MXU gather replacement: rows of table2d selected by onehot [C, G]."""
+    sel = jnp.matmul(onehot, jnp.asarray(table2d),
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    return sel.reshape((onehot.shape[0],) + out_shape)
 
 
 def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
@@ -81,6 +155,7 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     tb = _decode_tables()
     d = imbe_d.astype(jnp.int32)
     c = d.shape[0]
+    hp = jax.lax.Precision.HIGHEST
 
     b0 = bit_ops.pack_msb_first(d, _B0_IDX)
     bad = (b0 > 207).astype(jnp.int32)
@@ -90,78 +165,50 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     L = jnp.take(jnp.asarray(T.imbe_L_by_b0), b0s, axis=0)
     K = jnp.take(jnp.asarray(T.imbe_K_by_b0), b0s, axis=0)
     L9 = L - 9
+    onehot = jax.nn.one_hot(L9, 48, dtype=jnp.float32)  # [C, 48]
 
-    # --- bit scatter into bb[58][12] (imbe7200x4400.c:156-168) -----------
-    flat_idx = jnp.take(jnp.asarray(tb["bo_flat"]), L9, axis=0)  # [C, 79]
-    vals = d[:, 6:85]
-    bb = jnp.zeros((c, 58 * 12), jnp.int32)
-    bb = bb.at[jnp.arange(c)[:, None], flat_idx].set(vals)
+    # --- all bit-layout reads as one-hot MXU matmuls -----------------------
+    # (replaces the bb[58][12] scatter of imbe7200x4400.c:156-168 and every
+    # bits_descending read; values are exact small integers in f32)
+    NOUT = tb["NOUT"]
+    df = d.astype(jnp.float32)
+    Wc = _onehot_select(onehot, tb["W"], (88, NOUT))  # [C, 88, 116]
+    vals = jnp.einsum("cj,cjo->co", df, Wc, precision=hp,
+                      preferred_element_type=jnp.float32)  # [C, 116]
 
     # --- voicing (imbe7200x4400.c:170-188) --------------------------------
-    li = jnp.arange(57, dtype=jnp.int32)[None, :]  # band index
-    k_of_l = jnp.maximum(K[:, None] - 1 - (li - 1) // 3, 0)
-    vl_bits = jnp.take_along_axis(bb, 12 + k_of_l, axis=1)
+    li = jnp.arange(57, dtype=jnp.int32)[None, :]
+    vl_bits = jnp.concatenate(
+        [jnp.zeros((c, 1), jnp.float32), vals[:, :56]], axis=1).astype(jnp.int32)
     band_mask = (li >= 1) & (li <= L[:, None])
     Vl = jnp.where(band_mask, vl_bits, cur.Vl)
 
     # --- gains (imbe7200x4400.c:190-209) ----------------------------------
-    tbit = jnp.arange(12, dtype=jnp.int32)[None, :]
-    pow2 = (1 << jnp.arange(12, dtype=jnp.int32))[None, :]
-
-    def read_row(row_idx, nbits):
-        """bits_descending(bb[row], nbits-1, 0) per lane."""
-        rows = jnp.take_along_axis(
-            bb, row_idx[:, None] * 12 + tbit, axis=1)  # [C, 12]
-        m = tbit < nbits[:, None]
-        return jnp.sum(jnp.where(m, rows * pow2, 0), axis=-1)
-
-    b2 = read_row(jnp.full((c,), 2, jnp.int32), jnp.full((c,), 6, jnp.int32))
+    b2 = vals[:, 56].astype(jnp.int32)
     Gm1 = jnp.take(jnp.asarray(T.B2), b2, axis=0)
-
-    ba_bits = jnp.take(jnp.asarray(tb["ba_bits"]), L9, axis=0)  # [C, 5]
-    ba_step = jnp.take(jnp.asarray(tb["ba_step"]), L9, axis=0)  # [C, 5]
-    Gm_rest = []
-    for i in range(2, 7):
-        nb = ba_bits[:, i - 2]
-        bm = read_row(jnp.full((c,), i + 1, jnp.int32), nb)
-        g = ba_step[:, i - 2] * (bm.astype(jnp.float32)
-                                 - jnp.exp2(nb.astype(jnp.float32) - 1.0)
-                                 + jnp.float32(0.5))
-        Gm_rest.append(g)
-    Gm = jnp.stack([Gm1] + Gm_rest, axis=-1)  # [C, 6]
+    gain_step = _onehot_select(onehot, tb["gain_step"], (5,))
+    gain_off = _onehot_select(onehot, tb["gain_off"], (5,))
+    Gm_rest = gain_step * ((vals[:, 57:62] - gain_off) + jnp.float32(0.5))
+    Gm = jnp.concatenate([Gm1[:, None], Gm_rest], axis=-1)  # [C, 6]
 
     # --- Ri = 6-pt IDCT (imbe7200x4400.c:211-231) -------------------------
-    Ri = jnp.matmul(Gm, jnp.asarray(tb["RiM"]),
+    Ri = jnp.matmul(Gm, jnp.asarray(tb["RiM"]), precision=hp,
                     preferred_element_type=jnp.float32)  # [C, 6]
 
-    # --- HOC coefficients Cik (imbe7200x4400.c:233-249) -------------------
-    m_idx = jnp.take(jnp.asarray(tb["m_idx"]), L9, axis=0)  # [C, 6, 9]
-    m_valid = m_idx >= 0
-    m_safe = jnp.maximum(m_idx, 0)
-    hoba = jnp.take(jnp.asarray(tb["hoba"]), L9, axis=0)  # [C, 50]
-    Bm = jnp.take_along_axis(
-        hoba, jnp.maximum(m_safe - 8, 0).reshape(c, -1), axis=1).reshape(c, 6, 9)
-    rows = jnp.take_along_axis(
-        bb[:, None, None, :].reshape(c, -1),
-        (m_safe[..., None] * 12 + tbit.reshape(1, 1, 1, 12)).reshape(c, -1),
-        axis=1).reshape(c, 6, 9, 12)
-    mm = tbit.reshape(1, 1, 1, 12) < Bm[..., None]
-    bm_hoc = jnp.sum(jnp.where(mm, rows * pow2.reshape(1, 1, 1, 12), 0), axis=-1)
-    qs = jnp.take(jnp.asarray(T.quantstep), jnp.clip(Bm - 1, 0, 10), axis=0)
-    kk = jnp.arange(9, dtype=jnp.int32).reshape(1, 1, 9)  # k-2
-    sd = jnp.take(jnp.asarray(T.standdev), jnp.clip(kk, 0, 8), axis=0)
-    hoc = (qs * sd) * (bm_hoc.astype(jnp.float32)
-                       - jnp.exp2(Bm.astype(jnp.float32) - 1.0)
-                       + jnp.float32(0.5))
-    hoc = jnp.where(m_valid & (Bm > 0), hoc, 0.0)
+    # --- HOC coefficients (imbe7200x4400.c:233-249) ------------------------
+    qfac = _onehot_select(onehot, tb["hoc_qfac"], (54,))
+    off = _onehot_select(onehot, tb["hoc_off"], (54,))
+    valid = _onehot_select(onehot, tb["m_valid"].astype(np.float32), (54,)) > 0.5
+    hoc = qfac * ((vals[:, 62:116] - off) + jnp.float32(0.5))
+    hoc = jnp.where(valid, hoc, 0.0).reshape(c, 6, 9)
 
     # Cik flattened to [C, 60] in (i, k-1) layout: k=1 -> Ri, k>=2 -> hoc
-    Cik = jnp.concatenate([Ri[..., None], hoc], axis=-1)  # [C, 6, 10]
-    Cik = Cik.reshape(c, 60)
+    Cik = jnp.concatenate([Ri[..., None], hoc], axis=-1).reshape(c, 60)
 
     # --- Tl via per-L dense matrix (imbe7200x4400.c:251-270) --------------
-    TlM = jnp.take(jnp.asarray(tb["TlM"]), L9, axis=0)  # [C, 57, 60]
-    Tl = jnp.einsum("clk,ck->cl", TlM, Cik)
+    TlM = _onehot_select(onehot, tb["TlM2"], (57, 60))  # [C, 57, 60]
+    Tl = jnp.einsum("clk,ck->cl", TlM, Cik, precision=hp,
+                    preferred_element_type=jnp.float32)
 
     # --- spectral amplitude prediction (imbe7200x4400.c:272-354) ----------
     rho = jnp.where(L <= 15, jnp.float32(0.4),

@@ -16,6 +16,7 @@ reference's in-memory convention) and operate over arbitrary leading batch
 dimensions.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,6 +44,7 @@ def golay2312_hard(bits):
     gb = jnp.asarray(T.golay_Gbits)  # [12, 11], row i = generator i bits
     sel = data_bits[..., ::-1]  # index i -> codeword bit 22-i
     ecc_expected = jnp.matmul(sel.astype(jnp.float32), gb.astype(jnp.float32),
+                              precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
     ecc_expected = ecc_expected.astype(jnp.int32) & 1  # [..., 11]
     syndrome_bits = ecc_expected ^ bits[..., :11]
@@ -83,14 +85,16 @@ def _soft_decode(bits, rel, codewords, data_lo, n):
     base = jnp.sum(rel * bits, axis=-1)  # [...]
     q = (rel * (1 - 2 * bits)).astype(jnp.float32)  # [..., n]
     score = base[..., None] + jnp.matmul(
-        q, cw.T, preferred_element_type=jnp.float32).astype(jnp.int32)
+        q, cw.T, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
 
     # diffs_c over bits [data_lo, n): hamming distance of hard bits vs cw.
     h = bits[..., data_lo:].astype(jnp.float32)
     cwd = cw[:, data_lo:]
     # dist = sum h + sum cw - 2 h.cw
     dist = (jnp.sum(h, axis=-1)[..., None] + jnp.sum(cwd, axis=-1)
-            - 2.0 * jnp.matmul(h, cwd.T, preferred_element_type=jnp.float32))
+            - 2.0 * jnp.matmul(h, cwd.T, precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32))
     diffs = dist.astype(jnp.int32)  # [..., ncw]
     return score, diffs, ncw
 
@@ -126,6 +130,7 @@ def hamming1511_hard(bits, variant7100=False):
     bits = bits.astype(jnp.int32)
     hb = jnp.asarray(T.hamming_Hbits_7100 if variant7100 else T.hamming_Hbits_std)
     syn_bits = jnp.matmul(bits.astype(jnp.float32), hb.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32).astype(jnp.int32) & 1
     syndrome = jnp.sum(syn_bits * jnp.asarray([1, 2, 4, 8], dtype=jnp.int32), axis=-1)
     lut = jnp.asarray(T.ham1511_7100_lut if variant7100 else T.ham1511_lut)

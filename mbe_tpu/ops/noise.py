@@ -9,14 +9,13 @@ B[k] mod 53125. Products are < 53125^2 < 2^32, exact in uint32.
 Comfort noise (mbe_adaptive.c:51-130): java.util.Random's 48-bit LCG
 seed' = (seed*0x5DEECE66D + 0xB) mod 2^48, output = top 24 bits mapped to
 uniform [-1,1) * gain. Implemented with three 16-bit limbs in uint32 lanes
-(JAX x64 stays disabled), advanced 160 steps per muted frame via lax.scan
-over time-major sample blocks... no — via precomputed per-sample jump is not
-possible cheaply for 48-bit multiplies, so we unroll the 160 steps with a
-compact fori-style scan inside the kernel; the per-step cost is ~15 int ops
-on 160 samples/channel, negligible vs the FFT path.
+(JAX x64 stays disabled) and per-sample affine jump tables, so all 160
+samples of a frame are produced in one fully-parallel elementwise pass —
+exact 48-bit arithmetic, no scan.
 """
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..tables import T
@@ -128,21 +127,61 @@ def java_next_bits24(limbs):
     return new, val
 
 
+def _java_jump_tables(n):
+    """Affine jump constants for the Java LCG: state_k = A_k*state + B_k
+    mod 2^48, as 16-bit limb arrays [n, 3] (k = 1..n)."""
+    A = np.zeros((n, 3), np.uint32)
+    B = np.zeros((n, 3), np.uint32)
+    a, b = 1, 0
+    mask = (1 << 48) - 1
+    for k in range(n):
+        a = (a * _JMULT) & mask
+        b = (b * _JMULT + _JADD) & mask
+        A[k] = [a & 0xFFFF, (a >> 16) & 0xFFFF, (a >> 32) & 0xFFFF]
+        B[k] = [b & 0xFFFF, (b >> 16) & 0xFFFF, (b >> 32) & 0xFFFF]
+    return A, B
+
+
+_JUMP_A, _JUMP_B = _java_jump_tables(160)
+
+
 def comfort_noise(limbs, n=160):
     """160 comfort-noise samples + advanced RNG state
     (mbe_synthesizeComfortNoisef, mbe_adaptive.c:117-131).
 
+    The sequential 160-step Java LCG is replaced by precomputed affine
+    jumps: state_k = A_k*state + B_k mod 2^48, evaluated for all k in
+    parallel with exact 16-bit-limb uint32 arithmetic (the same carry
+    scheme as _java_step, generalized to 3x3 partial products).
+
     Args: limbs [..., 3] uint32 Java-Random state.
     Returns: (samples [..., n] f32, new_limbs).
     """
+    assert n <= 160
+    a = jnp.asarray(_JUMP_A[:n])  # [n, 3]
+    b = jnp.asarray(_JUMP_B[:n])
+    s0 = limbs[..., 0:1]  # [..., 1] broadcasts against [n]
+    s1 = limbs[..., 1:2]
+    s2 = limbs[..., 2:3]
+    a0, a1, a2 = a[:, 0], a[:, 1], a[:, 2]
+    b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
+
+    p00 = a0 * s0
+    t0 = p00 + b0
+    c0 = t0 >> 16
+    p01 = a0 * s1
+    p10 = a1 * s0
+    t1 = (p01 & 0xFFFF) + (p10 & 0xFFFF) + b1 + c0
+    r1 = t1 & 0xFFFF
+    c1 = (t1 >> 16) + (p01 >> 16) + (p10 >> 16)
+    t2 = a0 * s2 + a1 * s1 + a2 * s0 + b2 + c1
+    r2 = t2 & 0xFFFF
+
+    val = (r2 << 8) | (r1 >> 8)  # next(24): top 24 bits of the 48-bit state
     gain = jnp.float32((0.003 * 32767.0) / 7.0)
+    u = (val.astype(jnp.float32) / jnp.float32(16777216.0)) * 2.0 - 1.0
+    samples = u * gain
 
-    def step(carry, _):
-        new, val = java_next_bits24(carry)
-        u = (val.astype(jnp.float32) / jnp.float32(16777216.0)) * 2.0 - 1.0
-        return new, u * gain
-
-    new_limbs, samples = jax.lax.scan(step, limbs, None, length=n)
-    # scan stacks on axis 0 -> move to last axis
-    samples = jnp.moveaxis(samples, 0, -1)
+    r0_last = t0[..., n - 1] & 0xFFFF
+    new_limbs = jnp.stack([r0_last, r1[..., n - 1], r2[..., n - 1]], axis=-1)
     return samples, new_limbs

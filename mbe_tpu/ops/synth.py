@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tables import T
+from . import fft as fft_ops
 from . import noise as noise_ops
 from .enhance import band_mask
 
@@ -168,21 +169,30 @@ def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
     windowed = (jnp.where(prev_v[..., None], comp_prev, 0.0)
                 + jnp.where(cur_v[..., None], comp_cur, 0.0))
 
-    # Interpolated path (JMBE #134-138)
-    use_interp = ((lii < 8) & cur_v & prev_v
+    # Interpolated path (JMBE #134-138): only harmonics 1..7 are eligible
+    # (l < 8, mbelib.c:1032), so the dense interp grid is [C, 7, 160].
+    NI = 7
+    use_interp = ((lii[:, :NI] < 8) & cur_v[:, :NI] & prev_v[:, :NI]
                   & (jnp.abs(cur_w0 - prev_w0)[:, None]
                      < jnp.float32(0.1) * cur_w0[:, None]))
-    lN = li * jnp.float32(FRAME)
-    deltaphil = cphi[..., 0] - pphi[..., 0] - ((pw0 + cw0) * lN)[..., 0] / jnp.float32(2.0)
+    li7 = li[:, :NI]
+    lN = li7 * jnp.float32(FRAME)
+    cphi7 = cphi[:, :NI]
+    pphi7 = pphi[:, :NI]
+    pw0l7 = pw0l[:, :NI]
+    deltaphil = (cphi7[..., 0] - pphi7[..., 0]
+                 - ((pw0 + cw0) * lN)[..., 0] / jnp.float32(2.0))
     deltawl = (jnp.float32(1.0 / FRAME)
                * (deltaphil - TWO_PI * jnp.floor((deltaphil + jnp.float32(np.pi)) / TWO_PI)))
-    theta_ln = (pphi + (pw0l + deltawl[..., None]) * n
-                + (cw0 - pw0) * li * n * n / jnp.float32(2 * FRAME))
-    aln = (prev_Ml[:, 1:, None]
-           + (n / jnp.float32(FRAME)) * (cur_Ml[:, 1:, None] - prev_Ml[:, 1:, None]))
+    theta_ln = (pphi7 + (pw0l7 + deltawl[..., None]) * n
+                + (cw0 - pw0) * li7 * n * n / jnp.float32(2 * FRAME))
+    aln = (prev_Ml[:, 1:NI + 1, None]
+           + (n / jnp.float32(FRAME)) * (cur_Ml[:, 1:NI + 1, None]
+                                         - prev_Ml[:, 1:NI + 1, None]))
     interp = 2.0 * aln * jnp.cos(theta_ln)
 
-    contrib = jnp.where(use_interp[..., None], interp, windowed)
+    contrib = windowed.at[:, :NI, :].set(
+        jnp.where(use_interp[..., None], interp, windowed[:, :NI, :]))
     contrib = jnp.where(active[..., None], contrib, 0.0)
     return jnp.sum(contrib, axis=1)  # [C, 160]
 
@@ -192,10 +202,12 @@ def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
 # ---------------------------------------------------------------------------
 
 def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
-    """JMBE #117-126. Returns (unvoiced_add [C,160], new_previousUw [C,256])."""
+    """JMBE #117-126. Returns (unvoiced_add [C,160], new_previousUw [C,256]).
+
+    The 256-pt real FFT pair runs as MXU matmuls (ops/fft.py)."""
     _lazy_tables()
     uw = noise_buffer * jnp.asarray(_WIN256)[None, :]
-    X = jnp.fft.rfft(uw, axis=-1)  # [C, 129] complex64
+    Xre, Xim = fft_ops.rfft256(uw)  # [C, 129] each
 
     # Band edges (mbe_unvoiced_fft.c:643-661)
     mult = M_256_OVER_2PI * cur_w0  # [C]
@@ -209,7 +221,7 @@ def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
     member = (bins >= a_min[..., None]) & (bins < b_max[..., None])  # [C,57,129]
     lmask = band_mask(cur_L) & (cur_Vl == 0)
 
-    mag2 = jnp.abs(X) ** 2  # [C, 129] f32
+    mag2 = Xre * Xre + Xim * Xim  # [C, 129]
     numerator = jnp.sum(jnp.where(member, mag2[:, None, :], 0.0), axis=-1)  # [C,57]
     bin_count = (b_max - a_min).astype(jnp.float32)
     ok = lmask & (bin_count > 0) & (numerator > 1e-10)
@@ -220,8 +232,7 @@ def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
 
     bin_scalor = jnp.sum(jnp.where(member & ok[..., None], scalor[..., None], 0.0),
                          axis=1)  # [C, 129]
-    Xs = X * bin_scalor.astype(jnp.complex64)
-    uw_out = jnp.fft.irfft(Xs, n=FFT_SIZE, axis=-1).astype(jnp.float32)  # [C,256]
+    uw_out = fft_ops.irfft256(Xre * bin_scalor, Xim * bin_scalor)  # [C,256]
 
     # WOLA combine (mbe_unvoiced_fft.c:343-530)
     zeros32 = jnp.zeros((uw_out.shape[0], 32), jnp.float32)

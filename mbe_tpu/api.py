@@ -419,3 +419,91 @@ def process_ambe2400_dataf(ambe_d, st, total_errors, c0_errors=None):
     return _process_data(ambe.process_ambe2400, ambe_d, total_errors,
                          z if c0_errors is None else c0_errors, c0v,
                          None, None, st, imbe_path=False)
+
+
+# --- debug dumps (host-side, mirror mbe_dump* stderr printers) ---------------
+
+def _dump_bits(arr, order) -> str:
+    return "".join(str(int(b)) for b in np.asarray(arr).ravel()[order])
+
+
+def dump_ambe2450_data(ambe_d) -> str:
+    """mbe_dumpAmbe2450Data (ambe3600x2450.c:95-107): 49 bits in order."""
+    d = np.asarray(ambe_d).reshape(-1)
+    return "".join(str(int(b)) for b in d[:49])
+
+
+dump_ambe2400_data = dump_ambe2450_data
+
+
+def dump_ambe3600_frame(frame) -> str:
+    """mbe_dumpAmbe3600x24xxFrame: c0 bits 23..0, c1 22..0, c2 10..0,
+    c3 13..0 (ambe3600x2450.c:113-142)."""
+    f = np.asarray(frame).reshape(4, 24)
+    parts = [
+        "".join(str(int(b)) for b in f[0, 23::-1]),
+        "".join(str(int(b)) for b in f[1, 22::-1]),
+        "".join(str(int(b)) for b in f[2, 10::-1]),
+        "".join(str(int(b)) for b in f[3, 13::-1]),
+    ]
+    return " ".join(parts)
+
+
+dump_ambe3600x2450_frame = dump_ambe3600_frame
+dump_ambe3600x2400_frame = dump_ambe3600_frame
+
+
+def dump_imbe4400_data(imbe_d) -> str:
+    """mbe_dumpImbe4400Data (imbe7200x4400.c:360-371)."""
+    d = np.asarray(imbe_d).reshape(-1)
+    return "".join(str(int(b)) for b in d[:88])
+
+
+def dump_imbe7200x4400_data(imbe_d) -> str:
+    """mbe_dumpImbe7200x4400Data: 88 bits with field separators
+    (imbe7200x4400.c:377-391)."""
+    d = np.asarray(imbe_d).reshape(-1)
+    out = []
+    for i in range(88):
+        if i in (12, 24, 36, 48, 59, 70, 81):
+            out.append(" ")
+        out.append(str(int(d[i])))
+    return "".join(out)
+
+
+def dump_imbe7100x4400_data(imbe_d) -> str:
+    """mbe_dumpImbe7100x4400Data (imbe7100x4400.c:30-44)."""
+    d = np.asarray(imbe_d).reshape(-1)
+    out = []
+    for i in range(88):
+        if i in (7, 19, 31, 43, 54, 65):
+            out.append(" ")
+        out.append(str(int(d[i])))
+    return "".join(out)
+
+
+def dump_imbe7200x4400_frame(frame) -> str:
+    """mbe_dumpImbe7200x4400Frame (imbe7200x4400.c:397-417)."""
+    f = np.asarray(frame).reshape(8, 23)
+    parts = ["".join(str(int(b)) for b in f[i, 22::-1]) for i in range(4)]
+    parts += ["".join(str(int(b)) for b in f[i, 14::-1]) for i in range(4, 7)]
+    parts += ["".join(str(int(b)) for b in f[7, 6::-1])]
+    return " ".join(parts)
+
+
+def dump_imbe7100x4400_frame(frame) -> str:
+    """mbe_dumpImbe7100x4400Frame (imbe7100x4400.c:50-92)."""
+    f = np.asarray(frame).reshape(7, 24)
+
+    def seg(row, hi, lo, gap):
+        s = ""
+        for j in range(hi, lo - 1, -1):
+            if j == gap:
+                s += " "
+            s += str(int(f[row, j]))
+        return s
+
+    parts = [seg(0, 18, 0, 11), seg(1, 23, 0, 11), seg(2, 22, 0, 10),
+             seg(3, 22, 0, 10), seg(4, 14, 0, 3), seg(5, 14, 0, 3),
+             "".join(str(int(b)) for b in f[6, 22::-1])]
+    return " ".join(parts)

@@ -128,8 +128,15 @@ def _decode_tables():
     gain_step = ba[:, :, 1].astype(np.float32)        # [48, 5]
     gain_off = (2.0 ** (gain_bits - 1)).astype(np.float32)
 
+    # MXU-friendly layout: contract the 88 bit inputs FIRST
+    # (Y[c,(g,o)] = d @ Wt), pad the output column to the 128-lane tile.
+    NPAD = 128
+    Wp = np.zeros((48, 88, NPAD), np.float32)
+    Wp[:, :, :NOUT] = W
+    Wt = np.ascontiguousarray(Wp.transpose(1, 0, 2).reshape(88, 48 * NPAD))
+
     return dict(
-        W=W.reshape(48, 88 * NOUT), NOUT=NOUT,
+        Wt=Wt, NOUT=NOUT, NPAD=NPAD,
         TlM2=TlM.reshape(48, 57 * 60), RiM=RiM,
         m_valid=m_valid.reshape(48, 54),
         hoc_qfac=hoc_qfac, hoc_off=hoc_off,
@@ -167,14 +174,15 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     L9 = L - 9
     onehot = jax.nn.one_hot(L9, 48, dtype=jnp.float32)  # [C, 48]
 
-    # --- all bit-layout reads as one-hot MXU matmuls -----------------------
+    # --- all bit-layout reads as one MXU matmul + masked group-sum ---------
     # (replaces the bb[58][12] scatter of imbe7200x4400.c:156-168 and every
     # bits_descending read; values are exact small integers in f32)
-    NOUT = tb["NOUT"]
     df = d.astype(jnp.float32)
-    Wc = _onehot_select(onehot, tb["W"], (88, NOUT))  # [C, 88, 116]
-    vals = jnp.einsum("cj,cjo->co", df, Wc, precision=hp,
-                      preferred_element_type=jnp.float32)  # [C, 116]
+    Y = jnp.matmul(df, jnp.asarray(tb["Wt"]), precision=hp,
+                   preferred_element_type=jnp.float32)  # [C, 48*128]
+    Y = Y.reshape(c, 48, tb["NPAD"])
+    vals = jnp.einsum("cg,cgo->co", onehot, Y, precision=hp,
+                      preferred_element_type=jnp.float32)[:, :tb["NOUT"]]
 
     # --- voicing (imbe7200x4400.c:170-188) --------------------------------
     li = jnp.arange(57, dtype=jnp.int32)[None, :]

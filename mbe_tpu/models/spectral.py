@@ -7,11 +7,23 @@ interpolation weight (rho vs 0.65), the gain term (none vs BigGamma), and
 the unvoiced magnitude factor.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 _IDX = np.arange(57, dtype=np.int32)
 _IDX_F = np.arange(57, dtype=np.float32)
+
+
+def _permute(src, *arrays):
+    """out[c, l] = arr[c, src[c, l]] without a TPU gather: build the one-hot
+    permutation from comparisons and contract it (gathers are slow on TPU;
+    [C,57,57] compare+einsum is cheap VPU work)."""
+    oh = (src[:, :, None]
+          == jnp.arange(57, dtype=jnp.int32)[None, None, :]).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    return [jnp.einsum("clm,cm->cl", oh, a, precision=hp,
+                       preferred_element_type=jnp.float32) for a in arrays]
 
 
 def extend_prev(prev_Ml, prev_log2Ml, cur_L, prev_L):
@@ -22,8 +34,7 @@ def extend_prev(prev_Ml, prev_log2Ml, cur_L, prev_L):
            & (idx <= cur_L[:, None]))
     src = jnp.where(ext, prev_L[:, None], idx)
     src = jnp.where(idx == 0, 1, src)
-    pM = jnp.take_along_axis(prev_Ml, src, axis=1)
-    pL = jnp.take_along_axis(prev_log2Ml, src, axis=1)
+    pM, pL = _permute(src, prev_Ml, prev_log2Ml)
     return pM, pL
 
 
@@ -56,8 +67,7 @@ def spectral_update(cur_L, prev_L, prev_Ml, prev_log2Ml, Tl, *,
     deltal = flokl - intkl.astype(jnp.float32)
     upper = jnp.minimum(intkl + 1, 56)
 
-    lg_lo = jnp.take_along_axis(pLg, intkl, axis=1)
-    lg_hi = jnp.take_along_axis(pLg, upper, axis=1)
+    lg_lo, lg_hi = _permute(intkl, pLg)[0], _permute(upper, pLg)[0]
     interp = (1.0 - deltal) * lg_lo + deltal * lg_hi
     ssum = jnp.sum(jnp.where(mask, interp, 0.0), axis=-1)
     wsum = (weight / cL.astype(jnp.float32)) * ssum  # Sum43 / Sum77

@@ -17,10 +17,12 @@ def test_windows_match_reference_tables():
     assert ws[160] == 1.0 and ws[56] == np.float32(0.02)
     wsyn = np.asarray(T.Ws_synthesis)
     assert wsyn.shape == (211,)
-    # the asymmetry quirk: indices +90 and +91 are both 0.300
+    # the asymmetry quirk: the down-ramp repeats 0.300 (indices +89, +90),
+    # so the window is NOT symmetric — it must come from the dump, not a
+    # formula (mbe_unvoiced_fft.c:64-66)
+    assert wsyn[105 + 89] == np.float32(0.300)
     assert wsyn[105 + 90] == np.float32(0.300)
-    assert wsyn[105 + 91] == np.float32(0.300)
-    assert wsyn[105 - 90] != wsyn[105 + 91]
+    assert wsyn[105 - 89] != wsyn[105 + 90]
 
 
 def test_tone_phase_accumulator_exact():

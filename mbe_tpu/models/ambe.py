@@ -397,7 +397,7 @@ def _speech_paths(cur: Parms, prev: Parms, enh: Parms, voice_ok, tone_replay,
 
 def process_ambe2450(ambe_d, total_errors, c0_errors, c0_valid,
                      cur: Parms, prev: Parms, enh: Parms, comfort_rng,
-                     lcg_prime):
+                     lcg_prime, tones_enabled: bool = True):
     """Batched mbe_processAmbe2450Dataf (ambe3600x2450.c:851-877).
 
     Returns (audio [C,160], cur', prev', enh', comfort_rng', flags dict).
@@ -434,8 +434,14 @@ def process_ambe2450(ambe_d, total_errors, c0_errors, c0_valid,
         cur, prev, enh, voice_ok, tone_replay, cn, lcg_prime)
 
     ad, id1 = synth_ops.parse_tone_fields(ambe_d)
-    tone_audio, swn2, tp2 = synth_ops.render_tone(id1, ad, cur.swn,
-                                                  cur.tonePhase)
+    if tones_enabled:
+        tone_audio, swn2, tp2 = synth_ops.render_tone(id1, ad, cur.swn,
+                                                      cur.tonePhase)
+    else:
+        # DISABLE_AMBE_TONES: tone frames render silence, state untouched
+        # (mbelib.c:747-751)
+        tone_audio = jnp.zeros_like(cn)
+        swn2, tp2 = cur.swn, cur.tonePhase
 
     cn_lanes = voice_mute | tone_cn | is_era
     do_speech = voice_ok | tone_replay
@@ -470,7 +476,7 @@ def process_ambe2450(ambe_d, total_errors, c0_errors, c0_valid,
 
 def process_ambe2400(ambe_d, total_errors, c0_errors, c0_valid,
                      cur: Parms, prev: Parms, enh: Parms, comfort_rng,
-                     lcg_prime):
+                     lcg_prime, tones_enabled: bool = True):
     """Batched mbe_processAmbe2400Dataf (ambe3600x2400.c:732-762)."""
     cur, prev, enh = _ambe_prepare(total_errors, cur, prev, enh,
                                    jnp.float32(0.001064))
@@ -499,8 +505,13 @@ def process_ambe2400(ambe_d, total_errors, c0_errors, c0_valid,
         cur, prev, enh, voice_ok, jnp.zeros_like(voice_ok), cn, lcg_prime)
 
     # D-STAR tone: fixed amplitude 103, single tone by index (mbelib.c:813-856)
-    tone_audio, swn2, tp2 = synth_ops.render_tone(
-        jnp.clip(bad, 0, 255), jnp.full_like(bad, 103), cur.swn, cur.tonePhase)
+    if tones_enabled:
+        tone_audio, swn2, tp2 = synth_ops.render_tone(
+            jnp.clip(bad, 0, 255), jnp.full_like(bad, 103), cur.swn,
+            cur.tonePhase)
+    else:
+        tone_audio = jnp.zeros_like(cn)
+        swn2, tp2 = cur.swn, cur.tonePhase
 
     cn_lanes = voice_mute | (~voice & ~dstar_tone)  # bad==3, 5/6, noisy tones
     audio = jnp.where(voice_ok[:, None], audio_s,

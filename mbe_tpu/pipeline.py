@@ -51,7 +51,8 @@ def _pack_flags(base, fsm):
     return flags
 
 
-def step(codec: str, frame, state: ChannelState, soft_rel=None):
+def step(codec: str, frame, state: ChannelState, soft_rel=None,
+         tones_enabled: bool = True):
     """Full decode + process for one 20 ms frame across all channels.
 
     Args:
@@ -60,6 +61,8 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None):
         decisions).
       state: ChannelState.
       soft_rel: [C, rows, cols] int32 reliabilities for the soft path.
+      tones_enabled: False mirrors the reference's DISABLE_AMBE_TONES build
+        option (tone frames render silence; mbelib.c:747-751).
     Returns:
       (state', audio [C, 160] f32, result dict of [C] arrays, ambe_d)
     """
@@ -89,11 +92,11 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None):
     elif codec == "ambe2450":
         audio, cur, prev, enh, rng, lcgp, fsm = ambe.process_ambe2450(
             d, total, c0, true_mask, state.cur, state.prev, state.enh,
-            state.comfort_rng, state.lcg_prime)
+            state.comfort_rng, state.lcg_prime, tones_enabled=tones_enabled)
     else:
         audio, cur, prev, enh, rng, lcgp, fsm = ambe.process_ambe2400(
             d, total, c0, true_mask, state.cur, state.prev, state.enh,
-            state.comfort_rng, state.lcg_prime)
+            state.comfort_rng, state.lcg_prime, tones_enabled=tones_enabled)
 
     new_state = ChannelState(cur=cur, prev=prev, enh=enh, comfort_rng=rng,
                              lcg_prime=lcgp)

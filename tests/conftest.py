@@ -1,15 +1,19 @@
 import os
 
-# Force the CPU backend with a virtual 8-device mesh for sharding tests,
-# before jax initializes. (JAX_PLATFORM_NAME is honored by the installed
-# jax build; JAX_PLATFORMS is not, due to the axon plugin.)
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Force the CPU backend with a virtual 8-device mesh for sharding tests.
+# NOTE: this environment pre-imports jax at interpreter startup (a .pth
+# hook), so env vars set here are too late for jax's import-time config —
+# jax.config.update still works because backends haven't initialized yet.
+# XLA_FLAGS is read by the XLA runtime at backend init, so the environ
+# write below does take effect.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # This box compiles XLA graphs slowly (single core); persist compilations.
 jax.config.update("jax_compilation_cache_dir",

@@ -28,8 +28,12 @@ def test_sharded_step_matches_single_device():
     step = sharding.sharded_step("ambe2450", mesh, donate=False)
     new_state, audio, res = step(frame, state1)
 
-    np.testing.assert_array_equal(np.asarray(audio), np.asarray(ref_audio))
+    # sharded tiling changes f32 rounding at the 1e-7 level; integer results
+    # must stay exact
+    np.testing.assert_allclose(np.asarray(audio), np.asarray(ref_audio),
+                               atol=1e-3, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(res["total_errors"]),
                                   np.asarray(ref_res["total_errors"]))
-    np.testing.assert_array_equal(np.asarray(new_state.cur.Ml),
-                                  np.asarray(ref_state.cur.Ml))
+    np.testing.assert_allclose(np.asarray(new_state.cur.Ml),
+                               np.asarray(ref_state.cur.Ml),
+                               atol=1e-3, rtol=1e-4)

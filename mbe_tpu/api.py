@@ -507,3 +507,190 @@ def dump_imbe7100x4400_frame(frame) -> str:
              seg(3, 22, 0, 10), seg(4, 14, 0, 3), seg(5, 14, 0, 3),
              "".join(str(int(b)) for b in f[6, 22::-1])]
     return " ".join(parts)
+
+
+# --- standalone per-stage functions (ecc*/demodulate* API mirrors) ----------
+
+def _ambe_demod(frame):
+    """mbe_demodulateAmbe3600x24xxData (ambe_common.c:75-100): XOR C1 with
+    the keystream seeded from C0 bits 23..12. Returns frame'."""
+    f = jnp.asarray(frame, jnp.int32)
+    seed = 16 * bit_ops.pack_descending(f[:, 0, :], 23, 12)
+    from .ops import demod as demod_ops
+    pr = demod_ops.prng_bits(seed, 23)
+    fr1 = f[:, 1, :23] ^ pr[:, ::-1]
+    return f.at[:, 1, :23].set(fr1)
+
+
+demodulate_ambe3600x2450_data = _ambe_demod
+demodulate_ambe3600x2400_data = _ambe_demod
+
+
+def _ambe_ecc_data(frame, soft_rel=None):
+    """mbe_eccAmbe3600x24xxData (ambe_common.c:127-189): Golay C1 + 49-bit
+    packing. Returns (ambe_d [C,49], protected_errors [C])."""
+    f = jnp.asarray(frame, jnp.int32)
+    if soft_rel is not None:
+        g1, errs = ecc.golay2312_soft(f[:, 1, :23], soft_rel[:, 1, :23])
+    else:
+        g1, errs = ecc.golay2312_hard(f[:, 1, :23])
+    ambe_d = jnp.concatenate([
+        f[:, 0, 23:11:-1], g1[:, 22:10:-1], f[:, 2, 10::-1], f[:, 3, 13::-1],
+    ], axis=-1)
+    return ambe_d, errs
+
+
+ecc_ambe3600x2450_data = _ambe_ecc_data
+ecc_ambe3600x2400_data = _ambe_ecc_data
+
+
+def ecc_imbe7200x4400_c0(frame, soft_rel=None):
+    """mbe_eccImbe7200x4400C0 (imbe7200x4400.c:424-460): Golay on row 0.
+    Returns (frame', c0_errors)."""
+    f = jnp.asarray(frame, jnp.int32)
+    if soft_rel is not None:
+        out, errs = ecc.golay2312_soft(f[:, 0, :], soft_rel[:, 0, :])
+    else:
+        out, errs = ecc.golay2312_hard(f[:, 0, :])
+    return f.at[:, 0, :].set(out), errs
+
+
+def demodulate_imbe7200x4400_data(frame):
+    """mbe_demodulateImbe7200x4400Data (imbe7200x4400.c:636-673)."""
+    from .ops import demod as demod_ops
+    f = jnp.asarray(frame, jnp.int32)
+    seed = 16 * bit_ops.pack_descending(f[:, 0, :], 22, 11)
+    pr = demod_ops.prng_bits(seed, 114)
+    k = 0
+    for i in range(1, 4):
+        f = f.at[:, i, :].set(f[:, i, :] ^ pr[:, k:k + 23][:, ::-1])
+        k += 23
+    for i in range(4, 7):
+        f = f.at[:, i, :15].set(f[:, i, :15] ^ pr[:, k:k + 15][:, ::-1])
+        k += 15
+    return f
+
+
+def ecc_imbe7200x4400_data(frame, soft_rel=None):
+    """mbe_eccImbe7200x4400Data (imbe7200x4400.c:469-580): data-field ECC +
+    88-bit packing. Returns (imbe_d [C,88], protected_errors, c4_errors)."""
+    f = jnp.asarray(frame, jnp.int32)
+    dparts = [f[:, 0, 22:10:-1]]
+    perrs = 0
+    c4 = None
+    for i in range(1, 4):
+        if soft_rel is not None:
+            out, errs = ecc.golay2312_soft(f[:, i, :], soft_rel[:, i, :])
+        else:
+            out, errs = ecc.golay2312_hard(f[:, i, :])
+        perrs = perrs + errs
+        dparts.append(out[:, 22:10:-1])
+    for i in range(4, 7):
+        if soft_rel is not None:
+            out, errs = ecc.hamming1511_soft(f[:, i, :15], soft_rel[:, i, :15])
+        else:
+            out, errs = ecc.hamming1511_hard(f[:, i, :15])
+        perrs = perrs + errs
+        if i == 4:
+            c4 = errs
+        dparts.append(out[:, 14:3:-1])
+    dparts.append(f[:, 7, 6::-1])
+    return jnp.concatenate(dparts, axis=-1), perrs, c4
+
+
+def ecc_imbe7100x4400_c0(frame, soft_rel=None):
+    """mbe_eccImbe7100x4400C0 (imbe7100x4400.c:99-143): short Golay over 18
+    data bits at fr[0][1..18] (padded). Returns (frame', c0_errors)."""
+    f = jnp.asarray(frame, jnp.int32)
+    c = f.shape[0]
+    zeros5 = jnp.zeros((c, 5), jnp.int32)
+    g_in = jnp.concatenate([f[:, 0, 1:19], zeros5], axis=-1)
+    if soft_rel is not None:
+        rel = jnp.concatenate([soft_rel[:, 0, 1:19],
+                               jnp.full((c, 5), 255, jnp.int32)], axis=-1)
+        out, errs = ecc.golay2312_soft(g_in, rel)
+    else:
+        out, errs = ecc.golay2312_hard(g_in)
+    return f.at[:, 0, 1:19].set(out[:, :18]), errs
+
+
+def demodulate_imbe7100x4400_data(frame):
+    """mbe_demodulateImbe7100x4400Data (imbe7100x4400.c:291-334)."""
+    from .ops import demod as demod_ops
+    f = jnp.asarray(frame, jnp.int32)
+    seed = 16 * bit_ops.pack_descending(f[:, 0, :], 18, 12)
+    pr = demod_ops.prng_bits(seed, 100)
+    f = f.at[:, 1, :].set(f[:, 1, :] ^ pr[:, 0:24][:, ::-1])
+    k = 24
+    for i in range(2, 4):
+        f = f.at[:, i, :23].set(f[:, i, :23] ^ pr[:, k:k + 23][:, ::-1])
+        k += 23
+    for i in range(4, 6):
+        f = f.at[:, i, :15].set(f[:, i, :15] ^ pr[:, k:k + 15][:, ::-1])
+        k += 15
+    return f
+
+
+def ecc_imbe7100x4400_data(frame, soft_rel=None):
+    """mbe_eccImbe7100x4400Data (imbe7100x4400.c:152-285): data ECC +
+    88-bit packing (7100 layout). Returns (imbe_d, protected, c4)."""
+    f = jnp.asarray(frame, jnp.int32)
+    dparts = [f[:, 0, 18:11:-1]]
+    if soft_rel is not None:
+        out, perrs = ecc.golay2312_soft(f[:, 1, 1:24], soft_rel[:, 1, 1:24])
+    else:
+        out, perrs = ecc.golay2312_hard(f[:, 1, 1:24])
+    dparts.append(out[:, 22:10:-1])
+    c4 = None
+    for i in range(2, 4):
+        if soft_rel is not None:
+            out, errs = ecc.golay2312_soft(f[:, i, :23], soft_rel[:, i, :23])
+        else:
+            out, errs = ecc.golay2312_hard(f[:, i, :23])
+        perrs = perrs + errs
+        dparts.append(out[:, 22:10:-1])
+    for i in range(4, 6):
+        if soft_rel is not None:
+            out, errs = ecc.hamming1511_soft(f[:, i, :15],
+                                             soft_rel[:, i, :15],
+                                             variant7100=True)
+        else:
+            out, errs = ecc.hamming1511_hard(f[:, i, :15], variant7100=True)
+        perrs = perrs + errs
+        if i == 4:
+            c4 = errs
+        dparts.append(out[:, 14:3:-1])
+    dparts.append(f[:, 6, 22::-1])
+    return jnp.concatenate(dparts, axis=-1), perrs, c4
+
+
+def resolve_total_errors(result) -> int:
+    """mbe_result_resolve_total_errors (mbe_result.h:76-99), host-side.
+
+    Raises MbeInvalidArgument on inconsistent counters; returns the resolved
+    total (0 if result is None)."""
+    if result is None:
+        return 0
+    flags = int(result["flags"])
+    known = (PROCESS_FLAG_SOFT_INPUT | PROCESS_FLAG_C0_VALID
+             | PROCESS_FLAG_C4_VALID | PROCESS_FLAG_TONE
+             | PROCESS_FLAG_ERASURE | PROCESS_FLAG_REPEAT | PROCESS_FLAG_MUTE)
+    if flags & ~known:
+        raise MbeInvalidArgument("unknown flags")
+    c0 = int(result["c0_errors"])
+    prot = int(result["protected_errors"])
+    c4 = int(result["c4_errors"])
+    total = int(result["total_errors"])
+    for v in (c0, prot, c4, total):
+        if not (0 <= v <= 184):
+            raise MbeInvalidArgument("error count out of range")
+    if c0 > 184 - prot:
+        raise MbeInvalidArgument("component overflow")
+    component = c0 + prot
+    resolved = component if (total == 0 and component != 0) else total
+    consistent = ((component == 0 or resolved == component)
+                  and (not flags & PROCESS_FLAG_C0_VALID or resolved >= c0)
+                  and (not flags & PROCESS_FLAG_C4_VALID or resolved >= c4))
+    if not consistent:
+        raise MbeInvalidArgument("inconsistent totals")
+    return resolved

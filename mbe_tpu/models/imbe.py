@@ -177,14 +177,8 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     # --- all bit-layout reads as one MXU matmul + masked group-sum ---------
     # (replaces the bb[58][12] scatter of imbe7200x4400.c:156-168 and every
     # bits_descending read; values are exact small integers in f32).
-    # DEFAULT precision is EXACT here: both operands (0/1 bits and
-    # power-of-two weights <= 512) are exactly representable in bf16, the
-    # products are exact, and the MXU accumulates in f32 — so the cheap
-    # single-pass bf16 matmul loses nothing. The second contraction's Y
-    # values reach 1023 (not bf16-exact), so it stays at HIGHEST.
     df = d.astype(jnp.float32)
-    Y = jnp.matmul(df, jnp.asarray(tb["Wt"]),
-                   precision=jax.lax.Precision.DEFAULT,
+    Y = jnp.matmul(df, jnp.asarray(tb["Wt"]), precision=hp,
                    preferred_element_type=jnp.float32)  # [C, 48*128]
     Y = Y.reshape(c, 48, tb["NPAD"])
     vals = jnp.einsum("cg,cgo->co", onehot, Y, precision=hp,

@@ -26,29 +26,16 @@ def _permute(src, *arrays):
                        preferred_element_type=jnp.float32) for a in arrays]
 
 
-def _value_at(arr, idx):
-    """arr[c, idx[c]] for [C,57] arr and [C] idx, without a gather
-    (compare + masked reduce; cheap on the VPU)."""
-    m = jnp.asarray(_IDX)[None, :] == idx[:, None]
-    return jnp.sum(jnp.where(m, arr, 0.0), axis=-1)
-
-
 def extend_prev(prev_Ml, prev_log2Ml, cur_L, prev_L):
     """Prev-model extension + [0]=[1] aliasing (imbe7200x4400.c:303-310,
-    ambe3600x2450.c:406-414). Returns mutated (prev_Ml, prev_log2Ml).
-
-    The extension writes a single per-lane value (arr[prev_L]) above prev_L
-    and arr[1] at index 0 — two broadcasts, no permutation tensor."""
+    ambe3600x2450.c:406-414). Returns mutated (prev_Ml, prev_log2Ml)."""
     idx = jnp.asarray(_IDX)[None, :]
     ext = ((cur_L > prev_L)[:, None] & (idx > prev_L[:, None])
            & (idx <= cur_L[:, None]))
-
-    def fix(arr):
-        at_pl = _value_at(arr, prev_L)
-        out = jnp.where(ext, at_pl[:, None], arr)
-        return jnp.concatenate([out[:, 1:2], out[:, 1:]], axis=1)
-
-    return fix(prev_Ml), fix(prev_log2Ml)
+    src = jnp.where(ext, prev_L[:, None], idx)
+    src = jnp.where(idx == 0, 1, src)
+    pM, pL = _permute(src, prev_Ml, prev_log2Ml)
+    return pM, pL
 
 
 def spectral_update(cur_L, prev_L, prev_Ml, prev_log2Ml, Tl, *,
@@ -78,18 +65,9 @@ def spectral_update(cur_L, prev_L, prev_Ml, prev_log2Ml, Tl, *,
     intkl = flokl.astype(jnp.int32)
     intkl = jnp.clip(intkl, 0, 56)
     deltal = flokl - intkl.astype(jnp.float32)
+    upper = jnp.minimum(intkl + 1, 56)
 
-    # lo/hi interpolation sources from ONE permutation tensor: since
-    # upper = min(intkl+1, 56), hi is the same permutation applied to a
-    # statically shifted copy of pLg — one [C,57,57] build, one contraction.
-    oh = (intkl[:, :, None]
-          == jnp.arange(57, dtype=jnp.int32)[None, None, :]).astype(jnp.float32)
-    shifted = jnp.concatenate([pLg[:, 1:], pLg[:, 56:57]], axis=1)
-    stacked = jnp.stack([pLg, shifted], axis=-1)  # [C, 57, 2]
-    lohi = jnp.einsum("clm,cmx->clx", oh, stacked,
-                      precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)
-    lg_lo, lg_hi = lohi[..., 0], lohi[..., 1]
+    lg_lo, lg_hi = _permute(intkl, pLg)[0], _permute(upper, pLg)[0]
     interp = (1.0 - deltal) * lg_lo + deltal * lg_hi
     ssum = jnp.sum(jnp.where(mask, interp, 0.0), axis=-1)
     wsum = (weight / cL.astype(jnp.float32)) * ssum  # Sum43 / Sum77

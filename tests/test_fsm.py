@@ -194,3 +194,114 @@ def test_seed_drives_both_rngs():
     assert float(s.lcg_prime[0]) == 100000 % 53125
     # zero seed maps to 0x6d25357b
     assert float(s.lcg_prime[1]) == 0x6D25357B % 53125
+
+
+def test_hard_soft_c0_equivalence():
+    """Clean frames decode identically through hard and max-reliability soft
+    paths (test_params.c:409-433)."""
+    rng = np.random.default_rng(21)
+    frame = rng.integers(0, 2, (4, 4, 24)).astype(np.int32)
+    rel = np.full((4, 4, 24), 255, np.int32)
+
+    @jax.jit
+    def run(fr, rl):
+        dh, c0h, ph = ambe.decode_ambe3600_frame(fr)
+        ds, c0s, ps = ambe.decode_ambe3600_frame(fr, rl)
+        return dh, c0h, ph, ds, c0s, ps
+
+    dh, c0h, ph, ds, c0s, ps = jax.tree.map(np.asarray, run(frame, rel))
+    np.testing.assert_array_equal(dh, ds)
+    np.testing.assert_array_equal(c0h, c0s)
+    np.testing.assert_array_equal(ph, ps)
+
+
+def test_tone_id_validity_independent_of_u1_low_nibble():
+    """A valid tone frame is classified tone whether U3's low nibble is zero
+    or U1's nibbles match (test_params.c:462-512)."""
+    d = np.zeros((2, 49), np.int32)
+    d[:, 0:6] = 1          # u0 tone check
+    # lane 0: u3 low nibble zero (default)
+    # lane 1: u3 low nibble nonzero but u1 high nibble == low nibble
+    d[1, 45:49] = [1, 0, 0, 1]      # u3 low nibble = 9
+    d[1, 12:16] = [0, 1, 0, 1]      # u1 high nibble = 5
+    d[1, 20:24] = [0, 1, 0, 1]      # u1 low nibble = 5
+    state = st.init_state(2)
+
+    @jax.jit
+    def run(dd, cur, prev):
+        return ambe.decode_ambe2450_parms(dd, cur, prev,
+                                          jnp.zeros(2, jnp.int32))
+
+    _, _, bad = run(d, state.cur, state.prev)
+    np.testing.assert_array_equal(np.asarray(bad), [7, 7])
+
+
+def test_muted_frames_advance_smoothing_state():
+    """Muted frames still update localEnergy/amplitudeThreshold
+    (mbelib.c:1057-1064, test_params.c:536-549)."""
+    from mbe_tpu.ops import noise as noise_ops
+    state = st.init_state(1)
+    cur = dataclasses.replace(
+        state.cur,
+        repeatCount=jnp.full((1,), 4, jnp.int32),  # forces mute
+        errorRate=jnp.full((1,), 0.2, jnp.float32),
+        errorCountTotal=jnp.full((1,), 50, jnp.int32))
+    cn = jnp.zeros((1, 160), jnp.float32)
+    rm0 = jnp.full((1,), 12345.0, jnp.float32)
+
+    @jax.jit
+    def run(c, p):
+        return speech.synthesize_speech_core(c, p, cn, state.lcg_prime, rm0)
+
+    audio, cur2, prev2, aux = run(cur, state.prev)
+    assert bool(np.asarray(aux["mute"])[0])
+    # localEnergy updated by the IIR even though the frame was muted
+    expect = np.float32(0.95) * np.float32(75000.0) + np.float32(0.05) * np.float32(12345.0)
+    assert abs(float(cur2.localEnergy[0]) - float(expect)) < 1.0
+    # amplitudeThreshold recomputed (6000 - 300*50 + 20480)
+    assert int(cur2.amplitudeThreshold[0]) == 6000 - 300 * 50 + 20480
+    # noise LCG NOT advanced on muted lanes
+    assert float(cur2.noiseSeed[0]) == float(cur.noiseSeed[0])
+
+
+def test_imbe_recovers_from_ambe_threshold_contamination():
+    """IMBE prepare always restores the IMBE muting threshold even if the
+    state carries AMBE's 0.096 (test_params.c:742-764)."""
+    state = st.init_state(1)
+    contaminated = dataclasses.replace(
+        state.cur, mutingThreshold=jnp.full((1,), 0.096, jnp.float32))
+    d = np.zeros((1, 88), np.int32)  # b0=0 -> valid voice frame
+    te = jnp.zeros((1,), jnp.int32)
+    tm = jnp.ones((1,), bool)
+
+    @jax.jit
+    def run(dd, c, p, e, rng, lcgp):
+        return imbe.process_imbe4400(dd, te, te, tm, te, tm, c, p, e, rng,
+                                     lcgp)
+
+    out = run(d, contaminated, state.prev, state.enh, state.comfort_rng,
+              state.lcg_prime)
+    cur2 = out[1]
+    np.testing.assert_allclose(float(cur2.mutingThreshold[0]), 0.0875,
+                               rtol=1e-6)
+
+
+def test_c4_context_drives_error_count4():
+    """IMBE prepare copies c4_errors into errorCount4 only when the C4
+    context flag is valid (imbe7200x4400.c:798-801, test_params.c:644-703)."""
+    state = st.init_state(2)
+    d = np.zeros((2, 88), np.int32)
+    te = jnp.zeros((2,), jnp.int32)
+    c4 = jnp.array([3, 3], jnp.int32)
+    c4v = jnp.array([True, False])
+    tm = jnp.ones((2,), bool)
+
+    @jax.jit
+    def run(dd, c, p, e, rng, lcgp):
+        return imbe.process_imbe4400(dd, te, te, tm, c4, c4v, c, p, e, rng,
+                                     lcgp)
+
+    out = run(d, state.cur, state.prev, state.enh, state.comfort_rng,
+              state.lcg_prime)
+    cur2 = out[1]
+    np.testing.assert_array_equal(np.asarray(cur2.errorCount4), [3, 0])

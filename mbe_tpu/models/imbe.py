@@ -8,6 +8,7 @@ by L9 lane-wise; all frame-type branching is mask-select.
 """
 
 import dataclasses
+import os
 from functools import lru_cache
 
 import jax
@@ -144,6 +145,21 @@ def _decode_tables():
         L_by_b0=L_by_b0)
 
 
+def _use_pallas(c: int) -> bool:
+    """Use the fused Pallas decode kernels (ops/pallas/decode.py)?
+    MBE_TPU_PALLAS: 1=always, 0=never (default), auto=TPU only. Requires the
+    channel count to be a multiple of the 128-channel kernel block.
+    Measured at C=16384 the Pallas path is currently ~20% slower than the
+    XLA path (per-block MXU under-utilization + unrolled group reduce), so
+    XLA stays the default; see docs/PERFORMANCE.md."""
+    mode = os.environ.get("MBE_TPU_PALLAS", "0")
+    if mode == "0" or c % 128 != 0:
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _onehot_select(onehot, table2d, out_shape):
     """MXU gather replacement: rows of table2d selected by onehot [C, G]."""
     sel = jnp.matmul(onehot, jnp.asarray(table2d),
@@ -178,11 +194,16 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     # (replaces the bb[58][12] scatter of imbe7200x4400.c:156-168 and every
     # bits_descending read; values are exact small integers in f32).
     df = d.astype(jnp.float32)
-    Y = jnp.matmul(df, jnp.asarray(tb["Wt"]), precision=hp,
-                   preferred_element_type=jnp.float32)  # [C, 48*128]
-    Y = Y.reshape(c, 48, tb["NPAD"])
-    vals = jnp.einsum("cg,cgo->co", onehot, Y, precision=hp,
-                      preferred_element_type=jnp.float32)[:, :tb["NOUT"]]
+    if _use_pallas(c):
+        from ..ops.pallas import decode as pallas_decode
+        vals = pallas_decode.vals_pallas(
+            df, onehot, jnp.asarray(tb["Wt"]))[:, :tb["NOUT"]]
+    else:
+        Y = jnp.matmul(df, jnp.asarray(tb["Wt"]), precision=hp,
+                       preferred_element_type=jnp.float32)  # [C, 48*128]
+        Y = Y.reshape(c, 48, tb["NPAD"])
+        vals = jnp.einsum("cg,cgo->co", onehot, Y, precision=hp,
+                          preferred_element_type=jnp.float32)[:, :tb["NOUT"]]
 
     # --- voicing (imbe7200x4400.c:170-188) --------------------------------
     li = jnp.arange(57, dtype=jnp.int32)[None, :]
@@ -214,9 +235,13 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     Cik = jnp.concatenate([Ri[..., None], hoc], axis=-1).reshape(c, 60)
 
     # --- Tl via per-L dense matrix (imbe7200x4400.c:251-270) --------------
-    TlM = _onehot_select(onehot, tb["TlM2"], (57, 60))  # [C, 57, 60]
-    Tl = jnp.einsum("clk,ck->cl", TlM, Cik, precision=hp,
-                    preferred_element_type=jnp.float32)
+    if _use_pallas(c):
+        from ..ops.pallas import decode as pallas_decode
+        Tl = pallas_decode.tl_pallas(Cik, onehot)
+    else:
+        TlM = _onehot_select(onehot, tb["TlM2"], (57, 60))  # [C, 57, 60]
+        Tl = jnp.einsum("clk,ck->cl", TlM, Cik, precision=hp,
+                        preferred_element_type=jnp.float32)
 
     # --- spectral amplitude prediction (imbe7200x4400.c:272-354) ----------
     rho = jnp.where(L <= 15, jnp.float32(0.4),

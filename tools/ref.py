@@ -200,3 +200,19 @@ class Ref:
         out = (C.c_short * 160)()
         self.lib.mbe_floattoshort(fin, out)
         return np.array(out[:], np.int16)
+
+    def process_data_f(self, codec, d_bits, cur, prev, enh, total_errors):
+        """mbe_process*Dataf with a totals-only result (no C0/C4 context)."""
+        nd = self._DBITS[codec]
+        d = (C.c_char * nd)(*[bytes([int(b)]) for b in d_bits])
+        res = MbeProcessResult()
+        res.total_errors = int(total_errors)
+        res.flags = 0
+        buf = (C.c_float * 160)()
+        fn = getattr(self.lib, f"mbe_process{self._DATA_FN[codec]}Dataf")
+        ret = fn(buf, C.byref(res), d, C.byref(cur), C.byref(prev),
+                 C.byref(enh))
+        return (np.array(buf[:], np.float32), ret,
+                dict(c0=res.c0_errors, protected=res.protected_errors,
+                     c4=res.c4_errors, total=res.total_errors,
+                     flags=res.flags))

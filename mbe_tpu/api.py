@@ -694,3 +694,149 @@ def resolve_total_errors(result) -> int:
     if not consistent:
         raise MbeInvalidArgument("inconsistent totals")
     return resolved
+
+
+# --- explicit Soft/short variant names (1:1 with the reference header) -------
+
+def _soft_f(codec):
+    def fn(frame, soft_rel, st):
+        return _process(codec, frame, st, soft_rel, False)
+    return fn
+
+
+def _soft_s(codec):
+    def fn(frame, soft_rel, st):
+        return _process(codec, frame, st, soft_rel, True)
+    return fn
+
+
+process_imbe7200x4400_soft_framef = _soft_f("imbe7200")
+process_imbe7200x4400_soft_frame = _soft_s("imbe7200")
+process_imbe7100x4400_soft_framef = _soft_f("imbe7100")
+process_imbe7100x4400_soft_frame = _soft_s("imbe7100")
+process_ambe3600x2450_soft_framef = _soft_f("ambe2450")
+process_ambe3600x2450_soft_frame = _soft_s("ambe2450")
+process_ambe3600x2400_soft_framef = _soft_f("ambe2400")
+process_ambe3600x2400_soft_frame = _soft_s("ambe2400")
+
+
+def decode_imbe7200x4400_soft_frame(frame, soft_rel):
+    return decode_imbe7200x4400_frame(frame, soft_rel)
+
+
+def decode_imbe7100x4400_soft_frame(frame, soft_rel):
+    return decode_imbe7100x4400_frame(frame, soft_rel)
+
+
+def decode_ambe3600x2450_soft_frame(frame, soft_rel):
+    return decode_ambe3600x2450_frame(frame, soft_rel)
+
+
+def decode_ambe3600x2400_soft_frame(frame, soft_rel):
+    return decode_ambe3600x2400_frame(frame, soft_rel)
+
+
+def _data_int16(fn):
+    def wrapper(*args, **kw):
+        audio, st2, fsm = fn(*args, **kw)
+        return synth_ops.float_to_short(audio), st2, fsm
+    return wrapper
+
+
+process_imbe4400_data = _data_int16(process_imbe4400_dataf)
+process_ambe2450_data = _data_int16(process_ambe2450_dataf)
+process_ambe2400_data = _data_int16(process_ambe2400_dataf)
+
+
+#: 1:1 map from every reference public symbol (include/mbelib-neo/mbelib.h)
+#: to its counterpart here. Checked exhaustively by tests/test_api_surface.py.
+REFERENCE_SYMBOL_MAP = {
+    "mbe_versionString": "mbe_tpu.version_string",
+    "mbe_initProcessResult": "init_process_result",
+    "mbe_formatProcessResult": "format_process_result",
+    "mbe_softBitFromHard": "soft_bit_from_hard",
+    "mbe_softBitFromLlr": "soft_bit_from_llr",
+    "mbe_softBitsFromHard": "soft_bits_from_hard",
+    "mbe_softBitsFromLlr": "soft_bits_from_llr",
+    "mbe_checkGolayBlock": "check_golay_block",
+    "mbe_golay2312": "golay2312",
+    "mbe_golay2312Soft": "golay2312_soft",
+    "mbe_hamming1511": "hamming1511",
+    "mbe_hamming1511Soft": "hamming1511_soft",
+    "mbe_7100x4400hamming1511": "hamming1511_7100x4400",
+    "mbe_7100x4400hamming1511Soft": "hamming1511_7100x4400_soft",
+    "mbe_initMbeParms": "init_mbe_parms",
+    "mbe_setThreadRngSeed": "set_rng_seed",
+    "mbe_moveMbeParms": "move_mbe_parms",
+    "mbe_useLastMbeParms": "use_last_mbe_parms",
+    "mbe_spectralAmpEnhance": "spectral_amp_enhance_parms",
+    "mbe_applyAdaptiveSmoothing": "apply_adaptive_smoothing",
+    "mbe_requiresAdaptiveSmoothing": "requires_adaptive_smoothing",
+    "mbe_requiresMuting": "requires_muting",
+    "mbe_isMaxFrameRepeat": "is_max_frame_repeat",
+    "mbe_synthesizeComfortNoisef": "synthesize_comfort_noisef",
+    "mbe_synthesizeComfortNoise": "synthesize_comfort_noise",
+    "mbe_synthesizeSilencef": "synthesize_silencef",
+    "mbe_synthesizeSilence": "synthesize_silence",
+    "mbe_synthesizeSpeechf": "synthesize_speechf",
+    "mbe_synthesizeSpeech": "synthesize_speech",
+    "mbe_synthesizeTonef": "synthesize_tonef",
+    "mbe_synthesizeTonefdstar": "synthesize_tonef_dstar",
+    "mbe_floattoshort": "float_to_short",
+    "mbe_convertImbe7100to7200": "convert_imbe7100to7200",
+    # per-codec stage functions
+    "mbe_eccAmbe3600x2450C0": "ecc_ambe3600x2450_c0",
+    "mbe_eccAmbe3600x2400C0": "ecc_ambe3600x2400_c0",
+    "mbe_eccAmbe3600x2450Data": "ecc_ambe3600x2450_data",
+    "mbe_eccAmbe3600x2400Data": "ecc_ambe3600x2400_data",
+    "mbe_eccImbe7200x4400C0": "ecc_imbe7200x4400_c0",
+    "mbe_eccImbe7200x4400Data": "ecc_imbe7200x4400_data",
+    "mbe_eccImbe7100x4400C0": "ecc_imbe7100x4400_c0",
+    "mbe_eccImbe7100x4400Data": "ecc_imbe7100x4400_data",
+    "mbe_demodulateAmbe3600x2450Data": "demodulate_ambe3600x2450_data",
+    "mbe_demodulateAmbe3600x2400Data": "demodulate_ambe3600x2400_data",
+    "mbe_demodulateImbe7200x4400Data": "demodulate_imbe7200x4400_data",
+    "mbe_demodulateImbe7100x4400Data": "demodulate_imbe7100x4400_data",
+    "mbe_decodeAmbe2450Parms": "decode_ambe2450_parms",
+    "mbe_decodeAmbe2400Parms": "decode_ambe2400_parms",
+    "mbe_decodeImbe4400Parms": "decode_imbe4400_parms",
+    "mbe_decodeAmbe3600x2450Frame": "decode_ambe3600x2450_frame",
+    "mbe_decodeAmbe3600x2450SoftFrame": "decode_ambe3600x2450_soft_frame",
+    "mbe_decodeAmbe3600x2400Frame": "decode_ambe3600x2400_frame",
+    "mbe_decodeAmbe3600x2400SoftFrame": "decode_ambe3600x2400_soft_frame",
+    "mbe_decodeImbe7200x4400Frame": "decode_imbe7200x4400_frame",
+    "mbe_decodeImbe7200x4400SoftFrame": "decode_imbe7200x4400_soft_frame",
+    "mbe_decodeImbe7100x4400Frame": "decode_imbe7100x4400_frame",
+    "mbe_decodeImbe7100x4400SoftFrame": "decode_imbe7100x4400_soft_frame",
+    "mbe_processAmbe2450Dataf": "process_ambe2450_dataf",
+    "mbe_processAmbe2450Data": "process_ambe2450_data",
+    "mbe_processAmbe2400Dataf": "process_ambe2400_dataf",
+    "mbe_processAmbe2400Data": "process_ambe2400_data",
+    "mbe_processImbe4400Dataf": "process_imbe4400_dataf",
+    "mbe_processImbe4400Data": "process_imbe4400_data",
+    "mbe_processAmbe3600x2450Framef": "process_ambe3600x2450_framef",
+    "mbe_processAmbe3600x2450Frame": "process_ambe3600x2450_frame",
+    "mbe_processAmbe3600x2450SoftFramef": "process_ambe3600x2450_soft_framef",
+    "mbe_processAmbe3600x2450SoftFrame": "process_ambe3600x2450_soft_frame",
+    "mbe_processAmbe3600x2400Framef": "process_ambe3600x2400_framef",
+    "mbe_processAmbe3600x2400Frame": "process_ambe3600x2400_frame",
+    "mbe_processAmbe3600x2400SoftFramef": "process_ambe3600x2400_soft_framef",
+    "mbe_processAmbe3600x2400SoftFrame": "process_ambe3600x2400_soft_frame",
+    "mbe_processImbe7200x4400Framef": "process_imbe7200x4400_framef",
+    "mbe_processImbe7200x4400Frame": "process_imbe7200x4400_frame",
+    "mbe_processImbe7200x4400SoftFramef": "process_imbe7200x4400_soft_framef",
+    "mbe_processImbe7200x4400SoftFrame": "process_imbe7200x4400_soft_frame",
+    "mbe_processImbe7100x4400Framef": "process_imbe7100x4400_framef",
+    "mbe_processImbe7100x4400Frame": "process_imbe7100x4400_frame",
+    "mbe_processImbe7100x4400SoftFramef": "process_imbe7100x4400_soft_framef",
+    "mbe_processImbe7100x4400SoftFrame": "process_imbe7100x4400_soft_frame",
+    "mbe_dumpAmbe2450Data": "dump_ambe2450_data",
+    "mbe_dumpAmbe2400Data": "dump_ambe2400_data",
+    "mbe_dumpAmbe3600x2450Frame": "dump_ambe3600x2450_frame",
+    "mbe_dumpAmbe3600x2400Frame": "dump_ambe3600x2400_frame",
+    "mbe_dumpImbe4400Data": "dump_imbe4400_data",
+    "mbe_dumpImbe7200x4400Data": "dump_imbe7200x4400_data",
+    "mbe_dumpImbe7100x4400Data": "dump_imbe7100x4400_data",
+    "mbe_dumpImbe7200x4400Frame": "dump_imbe7200x4400_frame",
+    "mbe_dumpImbe7100x4400Frame": "dump_imbe7100x4400_frame",
+}

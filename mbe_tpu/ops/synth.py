@@ -20,7 +20,6 @@ import numpy as np
 
 from ..tables import T
 from . import fft as fft_ops
-from . import noise as noise_ops
 from .enhance import band_mask
 
 FRAME = 160

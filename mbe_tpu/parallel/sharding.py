@@ -7,10 +7,8 @@ leading axis. Host I/O per channel is tiny (<=96 bits in, 320 B PCM out per
 20 ms), ideal for double-buffered device_put + donated state.
 """
 
-from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

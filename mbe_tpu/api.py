@@ -329,6 +329,13 @@ def _mk_result(c0, prot, c4, soft, c4_valid):
 # --- full process wrappers ---------------------------------------------------
 
 def _process(codec, frame, st, soft_rel, int16):
+    # host-side strict 0/1 validation, mirroring MBE_STATUS_INVALID_BITS
+    # (mbe_result.h:18-42); skipped for traced inputs (validated upstream)
+    if isinstance(frame, np.ndarray):
+        _check_bits(frame)
+    if isinstance(soft_rel, np.ndarray) and isinstance(frame, np.ndarray):
+        if bit_ops.validate_soft_bits_host(frame) != 0:
+            raise MbeInvalidBits("soft bits must be 0 or 1")
     frame = jnp.asarray(frame, jnp.int32)
     if int16:
         return pipeline.step_int16(codec, frame, st, soft_rel)

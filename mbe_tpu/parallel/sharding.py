@@ -60,3 +60,19 @@ def sharded_sequence(codec: str, mesh: Mesh, axis_name: str = "ch"):
 
     return jax.jit(_run, in_shardings=(data_spec, None),
                    donate_argnums=(1,))
+
+
+def global_channel_mesh(axis_name: str = "ch") -> Mesh:
+    """Multi-host mesh over ALL processes' devices (the 16k-channel
+    multi-process stretch config: jax.distributed must be initialized by the
+    launcher; channels shard across every chip in the job, still with zero
+    hot-path collectives — DCN only carries the host I/O of each process's
+    own channel shard)."""
+    return Mesh(np.array(jax.devices()), (axis_name,))
+
+
+def host_local_channels(total_channels: int, axis_name: str = "ch") -> int:
+    """Channels owned by this process under global sharding."""
+    n_proc = jax.process_count()
+    assert total_channels % n_proc == 0
+    return total_channels // n_proc

@@ -76,7 +76,7 @@ def bench(codec="imbe7200", channels=8192, steps=50, reps=3):
 
 
 def main():
-    channels = int(os.environ.get("MBE_BENCH_CHANNELS", "16384"))
+    channels = int(os.environ.get("MBE_BENCH_CHANNELS", "32768"))
     steps = int(os.environ.get("MBE_BENCH_STEPS", "50"))
     fps = bench(channels=channels, steps=steps)
     print(json.dumps({

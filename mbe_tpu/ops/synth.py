@@ -6,7 +6,7 @@ TPU-native reformulation of the reference synthesis chain
 - The per-harmonic oscillator recurrences become closed-form
   cos(phi + step*n) evaluations over a dense [C, 56, 160] grid with masked
   accumulation — no sequential dependence inside a frame.
-- The 256-pt PFFFT pair becomes jnp.fft.rfft/irfft (XLA) over [C, 256].
+- The 256-pt PFFFT pair becomes a DFT-as-matmul on the MXU (ops/fft.py).
 - WOLA, window, clipping are plain fused elementwise ops with precomputed
   weight vectors.
 - Tone synthesis uses exact uint32 phase accumulators with per-tone-id

@@ -161,19 +161,31 @@ def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
     cphi = cur_PHIl[:, 1:, None]
     pphi = prev_PHIl[:, 1:, None]
 
-    theta_prev = pphi + pw0l * n
-    theta_cur = cphi + cw0l * (n - jnp.float32(FRAME))
-    comp_prev = (2.0 * prev_Ml[:, 1:, None]) * w_prev[None, None, :] * jnp.cos(theta_prev)
-    comp_cur = (2.0 * cur_Ml[:, 1:, None]) * w_cur[None, None, :] * jnp.cos(theta_cur)
-    windowed = (jnp.where(prev_v[..., None], comp_prev, 0.0)
-                + jnp.where(cur_v[..., None], comp_cur, 0.0))
-
-    # Interpolated path (JMBE #134-138): only harmonics 1..7 are eligible
-    # (l < 8, mbelib.c:1032), so the dense interp grid is [C, 7, 160].
+    # Interpolation eligibility (JMBE #134-138): only harmonics 1..7
+    # (l < 8, mbelib.c:1032).
     NI = 7
-    use_interp = ((lii[:, :NI] < 8) & cur_v[:, :NI] & prev_v[:, :NI]
-                  & (jnp.abs(cur_w0 - prev_w0)[:, None]
-                     < jnp.float32(0.1) * cur_w0[:, None]))
+    use_interp7 = ((lii[:, :NI] < 8) & cur_v[:, :NI] & prev_v[:, :NI]
+                   & (jnp.abs(cur_w0 - prev_w0)[:, None]
+                      < jnp.float32(0.1) * cur_w0[:, None]))
+    use_interp = jnp.concatenate(
+        [use_interp7, jnp.zeros((use_interp7.shape[0], 56 - NI), bool)],
+        axis=1)
+
+    # Windowed oscillator components, structured as three independent
+    # multiply-cos-reduce chains so XLA fuses each into its [C,160] output
+    # without materializing [C,56,160] grids in HBM (the window factor does
+    # not depend on l, so it is applied AFTER the harmonic sum; this only
+    # reorders f32 multiplies — SNR-level identical to the reference).
+    gain_prev = jnp.where(prev_v & active & ~use_interp,
+                          2.0 * prev_Ml[:, 1:], 0.0)[..., None]
+    gain_cur = jnp.where(cur_v & active & ~use_interp,
+                         2.0 * cur_Ml[:, 1:], 0.0)[..., None]
+    sum_prev = jnp.sum(gain_prev * jnp.cos(pphi + pw0l * n), axis=1)
+    sum_cur = jnp.sum(gain_cur * jnp.cos(cphi + cw0l * (n - jnp.float32(FRAME))),
+                      axis=1)
+    out = w_prev[None, :] * sum_prev + w_cur[None, :] * sum_cur
+
+    # Interpolated path over the 7 eligible harmonics only.
     li7 = li[:, :NI]
     lN = li7 * jnp.float32(FRAME)
     cphi7 = cphi[:, :NI]
@@ -188,12 +200,9 @@ def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
     aln = (prev_Ml[:, 1:NI + 1, None]
            + (n / jnp.float32(FRAME)) * (cur_Ml[:, 1:NI + 1, None]
                                          - prev_Ml[:, 1:NI + 1, None]))
-    interp = 2.0 * aln * jnp.cos(theta_ln)
-
-    contrib = windowed.at[:, :NI, :].set(
-        jnp.where(use_interp[..., None], interp, windowed[:, :NI, :]))
-    contrib = jnp.where(active[..., None], contrib, 0.0)
-    return jnp.sum(contrib, axis=1)  # [C, 160]
+    gi = jnp.where(use_interp7 & active[:, :NI], 2.0, 0.0)[..., None]
+    out = out + jnp.sum(gi * aln * jnp.cos(theta_ln), axis=1)
+    return out  # [C, 160]
 
 
 # ---------------------------------------------------------------------------

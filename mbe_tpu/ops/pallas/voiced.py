@@ -1,0 +1,90 @@
+"""Pallas TPU kernel: voiced oscillator bank via rotation recurrence.
+
+The XLA path evaluates cos(phi + n*step) over dense [C, 56, 160] grids —
+~18k transcendentals per channel-frame and the step's single largest cost
+(ablation: ~50% of the honest full step). This kernel replaces it with the
+same oscillator rotation recurrence the reference uses
+(mbe_fill_voiced_cos_block4, mbelib.c:208-223): per harmonic, two sincos
+for the start phase and step (computed in XLA, cheap: [C,56]) and then 160
+emit-then-rotate steps of pure multiply-adds with everything VMEM-resident.
+
+Layout: harmonics on sublanes (56 -> pad 64), channels on lanes (blocks of
+128). Outputs are the per-n harmonic sums for the prev/cur components
+([160, CB] each); the caller applies the synthesis windows (the window does
+not depend on l, so it factors out of the sum — same reordering the XLA
+path uses).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CB = 128   # channels per grid step (lane dimension)
+LP = 64    # harmonics padded to sublane tile
+
+
+def _kernel(gp_ref, cp_ref, sp_ref, cdp_ref, sdp_ref,
+            gc_ref, cc_ref, sc_ref, cdc_ref, sdc_ref,
+            outp_ref, outc_ref):
+    gp = gp_ref[...]
+    gc = gc_ref[...]
+    cdp = cdp_ref[...]
+    sdp = sdp_ref[...]
+    cdc = cdc_ref[...]
+    sdc = sdc_ref[...]
+
+    def body(n, carry):
+        cp, sp, cc, sc = carry
+        outp_ref[pl.ds(n, 1), :] = jnp.sum(gp * cp, axis=0, keepdims=True)
+        outc_ref[pl.ds(n, 1), :] = jnp.sum(gc * cc, axis=0, keepdims=True)
+        # emit-then-rotate, matching the reference oscillator order
+        cp2 = cp * cdp - sp * sdp
+        sp2 = sp * cdp + cp * sdp
+        cc2 = cc * cdc - sc * sdc
+        sc2 = sc * cdc + cc * sdc
+        return cp2, sp2, cc2, sc2
+
+    jax.lax.fori_loop(
+        0, 160, body,
+        (cp_ref[...], sp_ref[...], cc_ref[...], sc_ref[...]))
+
+
+def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
+                interpret=False):
+    """Per-sample harmonic sums for both voiced components.
+
+    Args (all [C, 56] f32; C a multiple of 128):
+      gain_prev/gain_cur: 2*Ml with all masks folded in (zero = inactive).
+      phi_prev: prev_PHIl; phi_cur0: cur_PHIl - cw0*l*160 (start phase).
+      step_prev/step_cur: w0*l phase increments.
+    Returns:
+      (sum_prev [C, 160], sum_cur [C, 160]) with
+      sum[c, n] = sum_l gain[c, l] * cos(phi[c, l] + n * step[c, l]).
+    """
+    c = gain_prev.shape[0]
+
+    def prep(g, phi, step):
+        # transpose to [56, C], pad harmonics to 64 sublanes
+        gT = jnp.pad(g.T, ((0, LP - 56), (0, 0)))
+        phiT = jnp.pad(phi.T, ((0, LP - 56), (0, 0)))
+        stepT = jnp.pad(step.T, ((0, LP - 56), (0, 0)))
+        return gT, jnp.cos(phiT), jnp.sin(phiT), jnp.cos(stepT), jnp.sin(stepT)
+
+    gp, cp, sp, cdp, sdp = prep(gain_prev, phi_prev, step_prev)
+    gc, cc, sc, cdc, sdc = prep(gain_cur, phi_cur0, step_cur)
+
+    in_spec = pl.BlockSpec((LP, CB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((160, CB), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    outp, outc = pl.pallas_call(
+        _kernel,
+        interpret=interpret,
+        grid=(c // CB,),
+        in_specs=[in_spec] * 10,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((160, c), jnp.float32),
+                   jax.ShapeDtypeStruct((160, c), jnp.float32)),
+    )(gp, cp, sp, cdp, sdp, gc, cc, sc, cdc, sdc)
+    return outp.T, outc.T

@@ -15,6 +15,9 @@ TPU-native reformulation of the reference synthesis chain
 All "hot loop" stages of the reference (SURVEY.md §3.1) live here.
 """
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +36,18 @@ M_256_OVER_2PI = np.float32(256.0 / (2.0 * 3.14159265358979323846))
 _L_IDX_F = np.arange(57, dtype=np.float32)
 _L_IDX_I = np.arange(57, dtype=np.int32)
 _N_IDX = np.arange(FRAME, dtype=np.float32)
+
+
+def _use_pallas_voiced(c: int) -> bool:
+    """Use the Pallas oscillator-recurrence kernel for the voiced bank?
+    MBE_TPU_PALLAS_VOICED: 1=always, 0=never, auto=TPU only (default).
+    Needs the channel count to be a multiple of the 128-channel block."""
+    mode = os.environ.get("MBE_TPU_PALLAS_VOICED", "auto")
+    if mode == "0" or c % 128 != 0:
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _wola_weights():
@@ -177,12 +192,22 @@ def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
     # not depend on l, so it is applied AFTER the harmonic sum; this only
     # reorders f32 multiplies — SNR-level identical to the reference).
     gain_prev = jnp.where(prev_v & active & ~use_interp,
-                          2.0 * prev_Ml[:, 1:], 0.0)[..., None]
+                          2.0 * prev_Ml[:, 1:], 0.0)
     gain_cur = jnp.where(cur_v & active & ~use_interp,
-                         2.0 * cur_Ml[:, 1:], 0.0)[..., None]
-    sum_prev = jnp.sum(gain_prev * jnp.cos(pphi + pw0l * n), axis=1)
-    sum_cur = jnp.sum(gain_cur * jnp.cos(cphi + cw0l * (n - jnp.float32(FRAME))),
-                      axis=1)
+                         2.0 * cur_Ml[:, 1:], 0.0)
+    if _use_pallas_voiced(cur_w0.shape[0]):
+        from .pallas import voiced as pallas_voiced
+        sum_prev, sum_cur = pallas_voiced.voiced_sums(
+            gain_prev, prev_PHIl[:, 1:], (prev_w0[:, None] * _L_IDX_F[1:]),
+            gain_cur,
+            cur_PHIl[:, 1:] - (cur_w0[:, None] * _L_IDX_F[1:]) * jnp.float32(FRAME),
+            (cur_w0[:, None] * _L_IDX_F[1:]))
+    else:
+        sum_prev = jnp.sum(gain_prev[..., None] * jnp.cos(pphi + pw0l * n),
+                           axis=1)
+        sum_cur = jnp.sum(gain_cur[..., None]
+                          * jnp.cos(cphi + cw0l * (n - jnp.float32(FRAME))),
+                          axis=1)
     out = w_prev[None, :] * sum_prev + w_cur[None, :] * sum_cur
 
     # Interpolated path over the 7 eligible harmonics only.

@@ -35,3 +35,29 @@ def test_tl_kernel_matches_xla():
     got = np.asarray(pdec.tl_pallas(jnp.asarray(cik), jnp.asarray(onehot),
                                     interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_voiced_kernel_matches_closed_form():
+    """The oscillator-recurrence kernel (interpret mode) matches the
+    closed-form cos grids to recurrence-drift tolerance (~3e-6 relative,
+    the same error class as the reference's oscillator, mbelib.c:208-223)."""
+    from mbe_tpu.ops.pallas import voiced as pv
+
+    rng = np.random.default_rng(7)
+    c = 128
+    g1 = rng.uniform(0, 5, (c, 56)).astype(np.float32)
+    p1 = rng.uniform(0, 6, (c, 56)).astype(np.float32)
+    s1 = rng.uniform(0, 3, (c, 56)).astype(np.float32)
+    g2 = rng.uniform(0, 5, (c, 56)).astype(np.float32)
+    p2 = rng.uniform(0, 6, (c, 56)).astype(np.float32)
+    s2 = rng.uniform(0, 3, (c, 56)).astype(np.float32)
+    op, oc = pv.voiced_sums(*(jnp.asarray(x) for x in (g1, p1, s1, g2, p2, s2)),
+                            interpret=True)
+    n = np.arange(160)[None, None, :]
+    ref_p = np.sum(g1[:, :, None] * np.cos(p1[:, :, None] + s1[:, :, None] * n),
+                   axis=1)
+    ref_c = np.sum(g2[:, :, None] * np.cos(p2[:, :, None] + s2[:, :, None] * n),
+                   axis=1)
+    scale = max(np.abs(ref_p).max(), np.abs(ref_c).max())
+    assert np.abs(np.asarray(op) - ref_p).max() / scale < 2e-5
+    assert np.abs(np.asarray(oc) - ref_c).max() / scale < 2e-5

@@ -28,6 +28,25 @@ _POW2_12 = np.array([1 << i for i in range(12)], dtype=np.int32)
 _POW2_11 = np.array([1 << i for i in range(11)], dtype=np.int32)
 
 
+def _parity(x):
+    """Bitwise parity of each int32 lane (values < 2^23) via xor-folds —
+    lane-dense, no matmul/gather."""
+    x = x ^ (x >> 16)
+    x = x ^ (x >> 8)
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return x & 1
+
+
+def _popcount12(x):
+    """Population count of 12-bit int32 lanes."""
+    x = x - ((x >> 1) & 0x555)
+    x = (x & 0x333) + ((x >> 2) & 0x333)
+    x = (x + (x >> 4)) & 0x0F0F
+    return (x + (x >> 8)) & 0x1F
+
+
 def golay2312_hard(bits):
     """Decode Golay(23,12) codewords.
 
@@ -36,23 +55,35 @@ def golay2312_hard(bits):
     Returns:
       (out_bits [..., 23], errs [...]) — parity bits pass through uncorrected
       and errs counts corrected data-bit errors (ecc.c:259-301).
+
+    Packed-word formulation: the bit-plane arrays have tiny trailing dims
+    that waste VPU lanes, so the codeword is packed into one int32 lane and
+    the 11 syndrome parities run as xor-folds over generator masks —
+    ~30 lane-dense int ops instead of dozens of [.., 23]-shaped ones.
     """
     bits = bits.astype(jnp.int32)
-    data_bits = bits[..., 11:]  # [..., 12]; data bit j of 12-bit word
-    # eccexpected parity bits: XOR of generator rows selected by data bits.
-    # Row i of golayGenerator pairs with codeword bit 22-i == data bit 11-i.
-    gb = jnp.asarray(T.golay_Gbits)  # [12, 11], row i = generator i bits
-    sel = data_bits[..., ::-1]  # index i -> codeword bit 22-i
-    ecc_expected = jnp.matmul(sel.astype(jnp.float32), gb.astype(jnp.float32),
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)
-    ecc_expected = ecc_expected.astype(jnp.int32) & 1  # [..., 11]
-    syndrome_bits = ecc_expected ^ bits[..., :11]
-    syndrome = jnp.sum(syndrome_bits * jnp.asarray(_POW2_11), axis=-1)
-    mask = jnp.take(jnp.asarray(T.golayMatrix), syndrome, axis=0)  # [...]
-    corrected = data_bits ^ ((mask[..., None] >> jnp.arange(12, dtype=jnp.int32)) & 1)
-    errs = jnp.sum(corrected != data_bits, axis=-1).astype(jnp.int32)
-    out = jnp.concatenate([bits[..., :11], corrected], axis=-1)
+    data = jnp.sum(bits[..., 11:] * jnp.asarray(_POW2_12), axis=-1)  # 12-bit
+    ecc_in = jnp.sum(bits[..., :11] * jnp.asarray(_POW2_11), axis=-1)
+
+    # ecc_expected: row i of golayGenerator selected by codeword bit 22-i ==
+    # data bit 11-i; as parity over per-parity-bit masks of the data word.
+    # gp_masks[p] = sum_i [generator[i] has bit p] << (11-i)
+    gg = np.asarray(T.golayGenerator, np.int64)
+    gp = np.zeros(11, np.int64)
+    for p in range(11):
+        for i in range(12):
+            if (gg[i] >> p) & 1:
+                gp[p] |= 1 << (11 - i)
+    gp_masks = jnp.asarray(gp.astype(np.int32))  # [11]
+
+    syn_bits = _parity(data[..., None] & gp_masks) ^ (
+        (ecc_in[..., None] >> jnp.arange(11, dtype=jnp.int32)) & 1)
+    syndrome = jnp.sum(syn_bits * jnp.asarray(_POW2_11), axis=-1)
+    mask = jnp.take(jnp.asarray(T.golayMatrix), syndrome, axis=0)
+    corrected = data ^ mask
+    errs = _popcount12(data ^ corrected)
+    out_data = (corrected[..., None] >> jnp.arange(12, dtype=jnp.int32)) & 1
+    out = jnp.concatenate([bits[..., :11], out_data], axis=-1)
     return out, errs
 
 
@@ -126,16 +157,22 @@ def golay2312_soft(bits, rel):
 
 
 def hamming1511_hard(bits, variant7100=False):
-    """Hamming(15,11) hard decode (ecc.c:366-464). 0/1 errors corrected."""
+    """Hamming(15,11) hard decode (ecc.c:366-464). 0/1 errors corrected.
+
+    Packed-word formulation (see golay2312_hard): block in one int32 lane,
+    4 syndrome parities as xor-folds over the generator masks."""
     bits = bits.astype(jnp.int32)
-    hb = jnp.asarray(T.hamming_Hbits_7100 if variant7100 else T.hamming_Hbits_std)
-    syn_bits = jnp.matmul(bits.astype(jnp.float32), hb.astype(jnp.float32),
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32).astype(jnp.int32) & 1
-    syndrome = jnp.sum(syn_bits * jnp.asarray([1, 2, 4, 8], dtype=jnp.int32), axis=-1)
+    block = jnp.sum(bits * jnp.asarray(_POW2_15), axis=-1)
+    gen = np.asarray(
+        T.imbe7100x4400hammingGenerator if variant7100
+        else T.hammingGenerator, np.int32)
+    syn_bits = _parity(block[..., None] & jnp.asarray(gen))  # [..., 4]
+    syndrome = jnp.sum(syn_bits * jnp.asarray([1, 2, 4, 8], dtype=jnp.int32),
+                       axis=-1)
     lut = jnp.asarray(T.ham1511_7100_lut if variant7100 else T.ham1511_lut)
     mask = jnp.take(lut, syndrome, axis=0)
-    out = bits ^ ((mask[..., None] >> jnp.arange(15, dtype=jnp.int32)) & 1)
+    corrected = block ^ mask
+    out = (corrected[..., None] >> jnp.arange(15, dtype=jnp.int32)) & 1
     errs = (syndrome > 0).astype(jnp.int32)
     return out, errs
 

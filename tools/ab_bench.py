@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Variance-controlled A/B benchmark harness.
+
+TPU run-to-run variance over this environment's tunnel is ~±25%, which
+swallows 10–20% optimization signals when A and B run in separate
+processes. This harness measures candidate step functions back-to-back,
+interleaved, inside one process, with the PCM output consumed (see
+docs/PERFORMANCE.md on the dead-code-elimination pitfall).
+
+Usage:
+    python tools/ab_bench.py [codec] [channels] [reps]
+measures the current pipeline; to A/B a change, import `measure` from a
+script that monkeypatches the candidate implementation between calls.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from mbe_tpu import pipeline  # noqa: E402
+from mbe_tpu.models import state as st  # noqa: E402
+
+
+def build(codec: str, channels: int, steps: int = 50):
+    if codec not in pipeline.FRAME_SHAPES:
+        raise SystemExit(f"unknown codec {codec!r}; one of "
+                         f"{sorted(pipeline.FRAME_SHAPES)}")
+    rows, cols = pipeline.FRAME_SHAPES[codec]
+    rng = np.random.default_rng(0)
+    frame = jax.device_put(
+        rng.integers(0, 2, (channels, rows, cols), dtype=np.int32))
+
+    def body(carry, _):
+        s, acc = carry
+        s2, audio, res, _ = pipeline.step(codec, frame, s)
+        return (s2, acc + jnp.sum(audio)), 0  # consume the PCM
+
+    return jax.jit(lambda s0: jax.lax.scan(
+        body, (s0, jnp.float32(0)), None, length=steps)[0]), steps
+
+
+def measure(fn, channels: int, steps: int, reps: int = 3):
+    out = fn(st.init_state(channels))
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(reps):
+        s0 = st.init_state(channels)
+        jax.block_until_ready(s0)
+        t0 = time.time()
+        out = fn(s0)
+        jax.block_until_ready(out)
+        best = min(best, (time.time() - t0) / steps)
+    return best
+
+
+def ab(fn_a, fn_b, channels: int, steps: int, rounds: int = 3):
+    """Interleaved A/B: returns (best_a, best_b) seconds/step."""
+    best_a = best_b = np.inf
+    for fn in (fn_a, fn_b):  # compile both first
+        jax.block_until_ready(fn(st.init_state(channels)))
+    for _ in range(rounds):
+        best_a = min(best_a, measure(fn_a, channels, steps, reps=1))
+        best_b = min(best_b, measure(fn_b, channels, steps, reps=1))
+    return best_a, best_b
+
+
+if __name__ == "__main__":
+    codec = sys.argv[1] if len(sys.argv) > 1 else "imbe7200"
+    channels = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    fn, steps = build(codec, channels)
+    dt = measure(fn, channels, steps, reps)
+    print(f"{codec} C={channels}: {dt * 1e3:.3f} ms/step -> "
+          f"{channels / dt:,.0f} frames/s ({channels / dt / 50:,.0f}x rt)")

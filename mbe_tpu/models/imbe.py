@@ -364,15 +364,38 @@ def _conv7100_tables():
     return perms
 
 
+@lru_cache(maxsize=1)
+def _conv7100_perm_mats():
+    """The 12 K-variant permutations as one-hot matrices P[k-1,j,i] = 1 iff
+    out[j] = in[i], so out = P @ in runs on the MXU instead of a gather."""
+    perms = _conv7100_tables()
+    P = np.zeros((12, 88, 88), np.float32)
+    for K in range(1, 13):
+        P[K - 1, np.arange(88), perms[K]] = 1.0
+    return P
+
+
 def convert_7100_to_7200(imbe_d):
     """Batched mbe_convertImbe7100to7200 (imbe7100x4400.c:380-437)."""
     d = imbe_d.astype(jnp.int32)
     b0 = bit_ops.pack_msb_first(d, np.array([1, 2, 3, 4, 5, 6, 86, 87], np.int32))
     b0s = jnp.clip(b0, 0, 207)
     K = jnp.take(jnp.asarray(T.imbe_K_by_b0), b0s, axis=0)
-    perms = jnp.asarray(_conv7100_tables())  # [13, 88]
-    perm = jnp.take(perms, jnp.clip(K, 1, 12), axis=0)  # [C, 88]
-    return jnp.take_along_axis(d, perm, axis=1)
+    # Per-channel gather through perm[K] is ~10x slower on TPU than MXU
+    # work; there are only 12 permutation variants, so apply all 12 as
+    # one-hot permutation matmuls and select with a one-hot over K.
+    # Exact: d, P, kh all in {0,1}, f32 HIGHEST keeps integers <2^24 exact.
+    P = jnp.asarray(_conv7100_perm_mats())  # [12, 88, 88] f32
+    kh = (jnp.clip(K, 1, 12)[:, None] ==
+          jnp.arange(1, 13, dtype=jnp.int32)).astype(jnp.float32)  # [C,12]
+    df = d.astype(jnp.float32)
+    allperm = jnp.einsum('ci,kji->kcj', df, P,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)  # [12,C,88]
+    out = jnp.einsum('ck,kcj->cj', kh, allperm,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)
 
 
 def decode_imbe7100_frame(frame, soft_rel=None):

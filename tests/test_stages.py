@@ -84,3 +84,31 @@ def test_resolve_total_errors():
                total_errors=0, flags=0)
     with pytest.raises(api.MbeInvalidArgument):
         api.resolve_total_errors(res)
+
+
+def test_convert_7100_k_variants():
+    """convert_imbe7100to7200's one-hot perm matmuls vs a plain numpy
+    gather through perm[K], over every reachable K variant plus the
+    b0>207 clip edge (imbe7100x4400.c:380-437)."""
+    from mbe_tpu.models.imbe import _conv7100_tables
+    from mbe_tpu.tables import T
+
+    perms = np.asarray(_conv7100_tables())
+    # one b0 per distinct K in the table, plus a clipped b0
+    b0_by_k = {}
+    for b0 in range(208):
+        b0_by_k.setdefault(int(T.imbe_K_by_b0[b0]), b0)
+    b0_list = sorted(b0_by_k.values()) + [255]
+
+    rng = np.random.default_rng(99)
+    d = rng.integers(0, 2, (len(b0_list), 88)).astype(np.int32)
+    for row, b0 in enumerate(b0_list):
+        bits = [(b0 >> s) & 1 for s in range(7, -1, -1)]
+        d[row, [1, 2, 3, 4, 5, 6]] = bits[:6]
+        d[row, [86, 87]] = bits[6:]
+
+    out = np.asarray(jax.jit(api.convert_imbe7100to7200)(d))
+    K = T.imbe_K_by_b0[np.minimum(np.array(b0_list), 207)]
+    expect = np.stack([d[i, perms[np.clip(K[i], 1, 12)]]
+                       for i in range(len(b0_list))])
+    np.testing.assert_array_equal(out, expect)

@@ -16,11 +16,27 @@ reference's in-memory convention) and operate over arbitrary leading batch
 dimensions.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..tables import T
+
+
+def _use_pallas_soft(x) -> bool:
+    """Fused Pallas soft decoder (ops/pallas/softecc.py)?
+    MBE_TPU_PALLAS_SOFT: 1=always, auto=TPU only, 0=never (default —
+    bit-exact on TPU but measured perf-neutral: XLA already fuses the
+    score->key->argmin chain, see docs/PERFORMANCE.md)."""
+    mode = os.environ.get("MBE_TPU_PALLAS_SOFT", "0")
+    shape_ok = x.ndim == 2 and x.shape[0] % 128 == 0
+    if mode == "1":
+        return shape_ok
+    if mode == "auto":
+        return shape_ok and jax.default_backend() == "tpu"
+    return False
 
 _POW2_23 = np.array([1 << i for i in range(23)], dtype=np.int32)
 _POW2_15 = np.array([1 << i for i in range(15)], dtype=np.int32)
@@ -137,10 +153,23 @@ def golay2312_soft(bits, rel):
     Returns (out_bits [..., 23], data_diffs [...]).
     Output keeps the *input hard* parity bits (ecc.c:353-355).
     """
+    hard_out, _ = golay2312_hard(bits)
+    if _use_pallas_soft(bits):
+        from .pallas import softecc
+        key = softecc.golay2312_soft_keys(
+            bits.astype(jnp.int32), rel.astype(jnp.int32),
+            hard_out, T.golay_codewords)
+        best = key & 0xFFF
+        best_diffs = (key >> 12) & 0xF
+        cw = jnp.asarray(T.golay_codewords.astype(np.int32))
+        best_cw = jnp.take(cw, best, axis=0)
+        out = jnp.concatenate(
+            [bits.astype(jnp.int32)[..., :11], best_cw[..., 11:]], axis=-1)
+        return out, best_diffs
+
     score, diffs, ncw = _soft_decode(bits, rel, T.golay_codewords, 11, 23)
 
     # matches_hard: candidate data == hard-decode(hard bits) data.
-    hard_out, _ = golay2312_hard(bits)
     hard_packed = jnp.sum(hard_out[..., 11:] * jnp.asarray(_POW2_12), axis=-1)
     cand_packed = jnp.asarray(T.golay_data_packed)  # [4096]
     matches = (cand_packed[None, :] == hard_packed[..., None]).astype(jnp.int32)
@@ -180,9 +209,19 @@ def hamming1511_hard(bits, variant7100=False):
 def hamming1511_soft(bits, rel, variant7100=False):
     """Soft Hamming(15,11) (ecc.c:157-215). Diffs counted over all 15 bits."""
     cb = T.hamming_codewords_7100 if variant7100 else T.hamming_codewords_std
+    hard_out, _ = hamming1511_hard(bits, variant7100)
+    if _use_pallas_soft(bits):
+        from .pallas import softecc
+        key = softecc.hamming1511_soft_keys(
+            bits.astype(jnp.int32), rel.astype(jnp.int32),
+            hard_out, cb, variant7100)
+        best = key & 0x7FF
+        best_diffs = (key >> 11) & 0xF
+        out = jnp.take(jnp.asarray(cb.astype(np.int32)), best, axis=0)
+        return out, best_diffs
+
     score, diffs, ncw = _soft_decode(bits, rel, cb, 0, 15)
 
-    hard_out, _ = hamming1511_hard(bits, variant7100)
     hard_packed = jnp.sum(hard_out * jnp.asarray(_POW2_15), axis=-1)
     packed = jnp.asarray(T.hamming_7100_packed if variant7100 else T.hamming_std_packed)
     matches = (packed[None, :] == hard_packed[..., None]).astype(jnp.int32)

@@ -61,3 +61,45 @@ def test_voiced_kernel_matches_closed_form():
     scale = max(np.abs(ref_p).max(), np.abs(ref_c).max())
     assert np.abs(np.asarray(op) - ref_p).max() / scale < 2e-5
     assert np.abs(np.asarray(oc) - ref_c).max() / scale < 2e-5
+
+
+def test_soft_ecc_kernel_matches_xla():
+    """The fused soft-ECC kernel (interpret mode) reproduces the XLA soft
+    decoders bit-exactly, including pure tie-break inputs (zero/constant
+    reliabilities) where the reference's lexicographic order
+    (ecc.c:54-67) is the only thing deciding the winner."""
+    from mbe_tpu.ops import ecc
+    from mbe_tpu.ops.pallas import softecc
+    from mbe_tpu.tables import T
+
+    rng = np.random.default_rng(42)
+    c = 256
+    bits = rng.integers(0, 2, (c, 23)).astype(np.int32)
+    cases = [rng.integers(0, 256, (c, 23)).astype(np.int32),
+             np.full((c, 23), 7, np.int32),
+             np.zeros((c, 23), np.int32)]
+    for rel in cases:
+        out_ref, diffs_ref = jax.jit(ecc.golay2312_soft)(bits, rel)
+        hard, _ = ecc.golay2312_hard(bits)
+        key = np.asarray(softecc.golay2312_soft_keys(
+            jnp.asarray(bits), jnp.asarray(rel), hard,
+            T.golay_codewords, interpret=True))
+        best, bd = key & 0xFFF, (key >> 12) & 0xF
+        cw = T.golay_codewords.astype(np.int32)
+        out = np.concatenate([bits[:, :11], cw[best][:, 11:]], axis=1)
+        np.testing.assert_array_equal(np.asarray(out_ref), out)
+        np.testing.assert_array_equal(np.asarray(diffs_ref), bd)
+
+    hb = rng.integers(0, 2, (c, 15)).astype(np.int32)
+    hr = rng.integers(0, 256, (c, 15)).astype(np.int32)
+    for v7 in (False, True):
+        cb = T.hamming_codewords_7100 if v7 else T.hamming_codewords_std
+        out_ref, diffs_ref = jax.jit(
+            lambda b, r, v=v7: ecc.hamming1511_soft(b, r, v))(hb, hr)
+        hard, _ = ecc.hamming1511_hard(hb, v7)
+        key = np.asarray(softecc.hamming1511_soft_keys(
+            jnp.asarray(hb), jnp.asarray(hr), hard, cb, v7, interpret=True))
+        best, bd = key & 0x7FF, (key >> 11) & 0xF
+        np.testing.assert_array_equal(np.asarray(out_ref),
+                                      cb.astype(np.int32)[best])
+        np.testing.assert_array_equal(np.asarray(diffs_ref), bd)

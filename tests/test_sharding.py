@@ -37,3 +37,42 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(new_state.cur.Ml),
                                np.asarray(ref_state.cur.Ml),
                                atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_sharded_golden_sequence_matches_unsharded():
+    """A full 30-frame golden AMBE sequence, channels tiled to 4x the
+    golden set (with per-channel seeds tiled identically — required, the
+    RNG streams are seeded per channel), run sharded over the mesh vs
+    unsharded: int16 PCM and integer results must agree, exercising the
+    branch-heavy FSM state commits (voice/tone/erasure/repeat) under
+    sharding rather than a single random step."""
+    from mbe_tpu.ops.synth import float_to_short
+
+    v = np.load("tests/vectors/e2e_ambe2450.npz")
+    reps = 4
+    frames = np.tile(v["frames"], (1, reps, 1, 1)).astype(np.int32)
+    seeds = np.tile(v["seeds"], reps).astype(np.uint32)
+    C = frames.shape[1]
+    assert C % len(jax.devices()) == 0 or C >= len(jax.devices())
+
+    s_ref = st.init_state(C, rng_seed=seeds)
+    ref_state, ref_audio, _ = jax.jit(
+        lambda f, s: pipeline.run_sequence("ambe2450", f, s))(frames, s_ref)
+
+    mesh = sharding.channel_mesh()
+    s_sh = sharding.shard_state(st.init_state(C, rng_seed=seeds), mesh)
+    run = sharding.sharded_sequence("ambe2450", mesh)
+    sh_state, sh_audio, _ = run(frames, s_sh)
+
+    ref16 = np.asarray(jax.jit(float_to_short)(ref_audio))
+    sh16 = np.asarray(jax.jit(float_to_short)(sh_audio))
+    # f32 tiling differences may move a sample across a truncation boundary;
+    # require ≤1 LSB and overwhelmingly identical samples
+    diff = np.abs(ref16.astype(np.int32) - sh16.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
+    np.testing.assert_array_equal(np.asarray(sh_state.cur.L),
+                                  np.asarray(ref_state.cur.L))
+    np.testing.assert_array_equal(np.asarray(sh_state.cur.Vl),
+                                  np.asarray(ref_state.cur.Vl))

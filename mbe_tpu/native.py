@@ -84,7 +84,9 @@ def scatter_bits(bits: np.ndarray, index: np.ndarray,
     if lib is None:
         safe = np.clip(index, 0, n_in - 1)
         out = bits[:, safe]
-        out[:, index < 0] = 0
+        # C (mbe_host_scatter_bits) zero-fills ANY out-of-range index,
+        # negative or >= n_in.
+        out[:, (index < 0) | (index >= n_in)] = 0
         return out.astype(np.int32)
     out = np.empty((f, n_out), np.int32)
     lib.mbe_host_scatter_bits(

@@ -35,3 +35,11 @@ def test_scatter():
     out = native.scatter_bits(bits, idx, 4)
     np.testing.assert_array_equal(out[0], [bits[0, 0], bits[0, 5], 0,
                                            bits[0, 11]])
+
+
+def test_scatter_out_of_range_high():
+    # indices >= n_in must zero-fill, matching mbe_host_scatter_bits
+    bits = np.ones((2, 12), np.int32)
+    idx = np.array([0, 12, 13, 100, 11, -3], np.int32)
+    out = native.scatter_bits(bits, idx, 6)
+    np.testing.assert_array_equal(out, np.tile([1, 0, 0, 0, 1, 0], (2, 1)))

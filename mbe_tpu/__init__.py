@@ -17,3 +17,4 @@ def version_string() -> str:
 
 from . import pipeline, tables  # noqa: E402,F401
 from .models import state  # noqa: E402,F401
+from .utils.config import DecoderConfig  # noqa: E402,F401

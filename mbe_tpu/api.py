@@ -24,6 +24,7 @@ from .ops import bits as bit_ops
 from .ops import ecc, noise
 from .ops import synth as synth_ops
 from .ops.enhance import adaptive_smoothing, spectral_amp_enhance  # noqa: F401
+from .utils.config import DEFAULT as DEFAULT_CONFIG, DecoderConfig  # noqa: F401
 
 # --- status / constants (mbelib.h:153-191, 679-686) ------------------------
 
@@ -328,7 +329,7 @@ def _mk_result(c0, prot, c4, soft, c4_valid):
 
 # --- full process wrappers ---------------------------------------------------
 
-def _process(codec, frame, st, soft_rel, int16):
+def _process(codec, frame, st, soft_rel, int16, config=DEFAULT_CONFIG):
     # host-side strict 0/1 validation, mirroring MBE_STATUS_INVALID_BITS
     # (mbe_result.h:18-42); skipped for traced inputs (validated upstream)
     if isinstance(frame, np.ndarray):
@@ -337,46 +338,54 @@ def _process(codec, frame, st, soft_rel, int16):
         if bit_ops.validate_soft_bits_host(frame) != 0:
             raise MbeInvalidBits("soft bits must be 0 or 1")
     frame = jnp.asarray(frame, jnp.int32)
-    if int16:
-        return pipeline.step_int16(codec, frame, st, soft_rel)
-    return pipeline.step(codec, frame, st, soft_rel)
+    if int16 or config.int16_output:
+        return pipeline.step_int16(codec, frame, st, soft_rel, config)
+    return pipeline.step(codec, frame, st, soft_rel, config)
 
 
-def process_imbe7200x4400_framef(frame, st, soft_rel=None):
-    return _process("imbe7200", frame, st, soft_rel, False)
+def process_imbe7200x4400_framef(frame, st, soft_rel=None,
+                                 config=DEFAULT_CONFIG):
+    return _process("imbe7200", frame, st, soft_rel, False, config)
 
 
-def process_imbe7200x4400_frame(frame, st, soft_rel=None):
-    return _process("imbe7200", frame, st, soft_rel, True)
+def process_imbe7200x4400_frame(frame, st, soft_rel=None,
+                                config=DEFAULT_CONFIG):
+    return _process("imbe7200", frame, st, soft_rel, True, config)
 
 
-def process_imbe7100x4400_framef(frame, st, soft_rel=None):
-    return _process("imbe7100", frame, st, soft_rel, False)
+def process_imbe7100x4400_framef(frame, st, soft_rel=None,
+                                 config=DEFAULT_CONFIG):
+    return _process("imbe7100", frame, st, soft_rel, False, config)
 
 
-def process_imbe7100x4400_frame(frame, st, soft_rel=None):
-    return _process("imbe7100", frame, st, soft_rel, True)
+def process_imbe7100x4400_frame(frame, st, soft_rel=None,
+                                config=DEFAULT_CONFIG):
+    return _process("imbe7100", frame, st, soft_rel, True, config)
 
 
-def process_ambe3600x2450_framef(frame, st, soft_rel=None):
-    return _process("ambe2450", frame, st, soft_rel, False)
+def process_ambe3600x2450_framef(frame, st, soft_rel=None,
+                                 config=DEFAULT_CONFIG):
+    return _process("ambe2450", frame, st, soft_rel, False, config)
 
 
-def process_ambe3600x2450_frame(frame, st, soft_rel=None):
-    return _process("ambe2450", frame, st, soft_rel, True)
+def process_ambe3600x2450_frame(frame, st, soft_rel=None,
+                                config=DEFAULT_CONFIG):
+    return _process("ambe2450", frame, st, soft_rel, True, config)
 
 
-def process_ambe3600x2400_framef(frame, st, soft_rel=None):
-    return _process("ambe2400", frame, st, soft_rel, False)
+def process_ambe3600x2400_framef(frame, st, soft_rel=None,
+                                 config=DEFAULT_CONFIG):
+    return _process("ambe2400", frame, st, soft_rel, False, config)
 
 
-def process_ambe3600x2400_frame(frame, st, soft_rel=None):
-    return _process("ambe2400", frame, st, soft_rel, True)
+def process_ambe3600x2400_frame(frame, st, soft_rel=None,
+                                config=DEFAULT_CONFIG):
+    return _process("ambe2400", frame, st, soft_rel, True, config)
 
 
 def _process_data(process_fn, d, total_errors, c0_errors, c0_valid,
-                  c4_errors, c4_valid, st, imbe_path):
-    c = st.lcg_prime.shape[0]
+                  c4_errors, c4_valid, st, imbe_path,
+                  config=DEFAULT_CONFIG):
     te = jnp.asarray(total_errors, jnp.int32)
     c0 = jnp.asarray(c0_errors, jnp.int32)
     c0v = jnp.asarray(c0_valid, bool)
@@ -389,17 +398,52 @@ def _process_data(process_fn, d, total_errors, c0_errors, c0_valid,
     else:
         out = process_fn(jnp.asarray(d, jnp.int32), te, c0, c0v,
                          st.cur, st.prev, st.enh, st.comfort_rng,
-                         st.lcg_prime)
+                         st.lcg_prime, tones_enabled=config.tones_enabled)
     audio, cur, prev, enh, rng, lcgp, fsm = out
     new_st = state_mod.ChannelState(cur=cur, prev=prev, enh=enh,
                                     comfort_rng=rng, lcg_prime=lcgp)
     return audio, new_st, fsm
 
 
+def _resolve_data_entry(total_errors, c0_errors, c4_errors):
+    """On-entry result resolution for the Data paths (mbe_result.h:76-114).
+
+    The reference validates/resolves the caller-supplied result before
+    processing and refuses inconsistent totals
+    (mbe_result_resolve_total_errors called from every mbe_process*Dataf).
+    Host (int/numpy) inputs get the same treatment here: range checks,
+    total==0-with-nonzero-components resolution, and total>=component
+    consistency. Traced inputs pass through unchanged (a jitted kernel
+    cannot raise), same as frame-bit validation in _process.
+
+    Returns the (possibly resolved) total_errors to use.
+    """
+    if not isinstance(total_errors, (int, np.integer, np.ndarray, list)):
+        return total_errors  # traced — validated upstream by the caller
+    te = np.atleast_1d(np.asarray(total_errors, np.int64))
+    c0 = (np.zeros_like(te) if c0_errors is None
+          else np.atleast_1d(np.asarray(c0_errors, np.int64)))
+    c4 = (np.zeros_like(te) if c4_errors is None
+          else np.atleast_1d(np.asarray(c4_errors, np.int64)))
+    for name, arr in (("total", te), ("c0", c0), ("c4", c4)):
+        if ((arr < 0) | (arr > 184)).any():
+            raise MbeInvalidArgument(f"{name}_errors out of range [0,184]")
+    # mbe_result.h:92-95: zero total with nonzero components resolves to the
+    # component sum. Component = c0 + protected; this entry point only knows
+    # c0 (c4 is a *subset* of protected, never added to the component sum).
+    component = c0
+    resolved = np.where((te == 0) & (component != 0), component, te)
+    if ((resolved < c0) | (resolved < c4)).any():
+        raise MbeInvalidArgument(
+            "inconsistent totals: total_errors < component errors")
+    return np.asarray(resolved, np.int32).reshape(np.shape(total_errors))
+
+
 def process_imbe4400_dataf(imbe_d, st, total_errors, c0_errors=None,
-                           c4_errors=None):
+                           c4_errors=None, config=DEFAULT_CONFIG):
     """mbe_processImbe4400Dataf. c0/c4_errors None = context not available
     (the Dataf fallback repeat rules, imbe7200x4400.c:815-822)."""
+    total_errors = _resolve_data_entry(total_errors, c0_errors, c4_errors)
     c = st.lcg_prime.shape[0]
     z = jnp.zeros((c,), jnp.int32)
     c0v = jnp.full((c,), c0_errors is not None)
@@ -407,25 +451,29 @@ def process_imbe4400_dataf(imbe_d, st, total_errors, c0_errors=None,
     return _process_data(imbe.process_imbe4400, imbe_d, total_errors,
                          z if c0_errors is None else c0_errors, c0v,
                          z if c4_errors is None else c4_errors, c4v,
-                         st, imbe_path=True)
+                         st, imbe_path=True, config=config)
 
 
-def process_ambe2450_dataf(ambe_d, st, total_errors, c0_errors=None):
+def process_ambe2450_dataf(ambe_d, st, total_errors, c0_errors=None,
+                           config=DEFAULT_CONFIG):
+    total_errors = _resolve_data_entry(total_errors, c0_errors, None)
     c = st.lcg_prime.shape[0]
     z = jnp.zeros((c,), jnp.int32)
     c0v = jnp.full((c,), c0_errors is not None)
     return _process_data(ambe.process_ambe2450, ambe_d, total_errors,
                          z if c0_errors is None else c0_errors, c0v,
-                         None, None, st, imbe_path=False)
+                         None, None, st, imbe_path=False, config=config)
 
 
-def process_ambe2400_dataf(ambe_d, st, total_errors, c0_errors=None):
+def process_ambe2400_dataf(ambe_d, st, total_errors, c0_errors=None,
+                           config=DEFAULT_CONFIG):
+    total_errors = _resolve_data_entry(total_errors, c0_errors, None)
     c = st.lcg_prime.shape[0]
     z = jnp.zeros((c,), jnp.int32)
     c0v = jnp.full((c,), c0_errors is not None)
     return _process_data(ambe.process_ambe2400, ambe_d, total_errors,
                          z if c0_errors is None else c0_errors, c0v,
-                         None, None, st, imbe_path=False)
+                         None, None, st, imbe_path=False, config=config)
 
 
 # --- debug dumps (host-side, mirror mbe_dump* stderr printers) ---------------
@@ -706,14 +754,14 @@ def resolve_total_errors(result) -> int:
 # --- explicit Soft/short variant names (1:1 with the reference header) -------
 
 def _soft_f(codec):
-    def fn(frame, soft_rel, st):
-        return _process(codec, frame, st, soft_rel, False)
+    def fn(frame, soft_rel, st, config=DEFAULT_CONFIG):
+        return _process(codec, frame, st, soft_rel, False, config)
     return fn
 
 
 def _soft_s(codec):
-    def fn(frame, soft_rel, st):
-        return _process(codec, frame, st, soft_rel, True)
+    def fn(frame, soft_rel, st, config=DEFAULT_CONFIG):
+        return _process(codec, frame, st, soft_rel, True, config)
     return fn
 
 

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from .models import ambe, imbe
 from .models.state import ChannelState
 from .ops import synth as synth_ops
+from .utils.config import DEFAULT as DEFAULT_CONFIG, DecoderConfig
 
 FLAG_SOFT_INPUT = 0x0001
 FLAG_C0_VALID = 0x0002
@@ -52,7 +53,7 @@ def _pack_flags(base, fsm):
 
 
 def step(codec: str, frame, state: ChannelState, soft_rel=None,
-         tones_enabled: bool = True):
+         config: DecoderConfig = DEFAULT_CONFIG):
     """Full decode + process for one 20 ms frame across all channels.
 
     Args:
@@ -61,11 +62,15 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
         decisions).
       state: ChannelState.
       soft_rel: [C, rows, cols] int32 reliabilities for the soft path.
-      tones_enabled: False mirrors the reference's DISABLE_AMBE_TONES build
-        option (tone frames render silence; mbelib.c:747-751).
+      config: static DecoderConfig. config.tones_enabled=False mirrors the
+        reference's DISABLE_AMBE_TONES build option (tone frames render
+        silence with tone state untouched; mbelib.c:747-751). A different
+        config compiles a different executable, same as a different #define
+        builds a different reference library.
     Returns:
       (state', audio [C, 160] f32, result dict of [C] arrays, ambe_d)
     """
+    tones_enabled = config.tones_enabled
     soft = soft_rel is not None
     base = (FLAG_SOFT_INPUT if soft else 0) | FLAG_C0_VALID
 
@@ -104,24 +109,27 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
     return new_state, audio, res, d
 
 
-def step_int16(codec: str, frame, state: ChannelState, soft_rel=None):
+def step_int16(codec: str, frame, state: ChannelState, soft_rel=None,
+               config: DecoderConfig = DEFAULT_CONFIG):
     """step() + float->int16 conversion (the `short` API variants)."""
-    new_state, audio, res, d = step(codec, frame, state, soft_rel)
+    new_state, audio, res, d = step(codec, frame, state, soft_rel, config)
     return new_state, synth_ops.float_to_short(audio), res, d
 
 
 def run_sequence(codec: str, frames, state: ChannelState, soft_rel=None,
-                 int16=False):
+                 int16=False, config: DecoderConfig = DEFAULT_CONFIG):
     """Scan a [T, C, rows, cols] frame sequence through the decoder.
 
     Returns (state', pcm [T, C, 160], results dict of [T, C] arrays).
     """
+    int16 = int16 or config.int16_output
+
     def body(st, inp):
         if soft_rel is None:
             fr, sr = inp, None
         else:
             fr, sr = inp
-        st, audio, res, _ = step(codec, fr, st, sr)
+        st, audio, res, _ = step(codec, fr, st, sr, config)
         if int16:
             audio = synth_ops.float_to_short(audio)
         return st, (audio, res)

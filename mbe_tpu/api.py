@@ -334,9 +334,14 @@ def _process(codec, frame, st, soft_rel, int16, config=DEFAULT_CONFIG):
     # (mbe_result.h:18-42); skipped for traced inputs (validated upstream)
     if isinstance(frame, np.ndarray):
         _check_bits(frame)
-    if isinstance(soft_rel, np.ndarray) and isinstance(frame, np.ndarray):
-        if bit_ops.validate_soft_bits_host(frame) != 0:
+    if isinstance(soft_rel, np.ndarray):
+        if isinstance(frame, np.ndarray) and \
+                bit_ops.validate_soft_bits_host(frame) != 0:
             raise MbeInvalidBits("soft bits must be 0 or 1")
+        # mbe_soft_bit.reliability is uint8 by type (mbelib.h:148-151);
+        # reject values this API's int32 arrays could smuggle past that.
+        if ((soft_rel < 0) | (soft_rel > 255)).any():
+            raise MbeInvalidArgument("soft reliability out of range [0,255]")
     frame = jnp.asarray(frame, jnp.int32)
     if int16 or config.int16_output:
         return pipeline.step_int16(codec, frame, st, soft_rel, config)
@@ -389,19 +394,37 @@ def _process_data(process_fn, d, total_errors, c0_errors, c0_valid,
     te = jnp.asarray(total_errors, jnp.int32)
     c0 = jnp.asarray(c0_errors, jnp.int32)
     c0v = jnp.asarray(c0_valid, bool)
+    # per-lane MBE_STATUS_INVALID_BITS for traced inputs (host inputs were
+    # rejected by the wrapper): invalid lanes emit silence with state
+    # rolled back, and the kernels run on {0,1}-masked bits so they stay
+    # total. Mirrors ambe2450_prepare_process's mbe_validate_bits.
+    d = jnp.asarray(d, jnp.int32)
+    lanes_valid = bit_ops.bits_valid(d)
+    d = d & 1
     if imbe_path:
         c4 = jnp.asarray(c4_errors, jnp.int32)
         c4v = jnp.asarray(c4_valid, bool)
-        out = process_fn(jnp.asarray(d, jnp.int32), te, c0, c0v, c4, c4v,
+        out = process_fn(d, te, c0, c0v, c4, c4v,
                          st.cur, st.prev, st.enh, st.comfort_rng,
                          st.lcg_prime)
     else:
-        out = process_fn(jnp.asarray(d, jnp.int32), te, c0, c0v,
+        out = process_fn(d, te, c0, c0v,
                          st.cur, st.prev, st.enh, st.comfort_rng,
                          st.lcg_prime, tones_enabled=config.tones_enabled)
     audio, cur, prev, enh, rng, lcgp, fsm = out
     new_st = state_mod.ChannelState(cur=cur, prev=prev, enh=enh,
                                     comfort_rng=rng, lcg_prime=lcgp)
+
+    def lane_sel(new, old):
+        v = lanes_valid.reshape((-1,) + (1,) * (new.ndim - 1))
+        return jnp.where(v, new, old)
+
+    new_st = jax.tree.map(lane_sel, new_st, st)
+    audio = jnp.where(lanes_valid[:, None], audio, 0.0)
+    fsm = {k: jnp.where(lanes_valid, v, jnp.zeros_like(v))
+           for k, v in fsm.items()}
+    fsm["status"] = jnp.where(lanes_valid, 0, STATUS_INVALID_BITS
+                              ).astype(jnp.int32)
     return audio, new_st, fsm
 
 
@@ -443,6 +466,8 @@ def process_imbe4400_dataf(imbe_d, st, total_errors, c0_errors=None,
                            c4_errors=None, config=DEFAULT_CONFIG):
     """mbe_processImbe4400Dataf. c0/c4_errors None = context not available
     (the Dataf fallback repeat rules, imbe7200x4400.c:815-822)."""
+    if isinstance(imbe_d, np.ndarray):
+        _check_bits(imbe_d)  # mbe_validate_bits(imbe_d, 88) on entry
     total_errors = _resolve_data_entry(total_errors, c0_errors, c4_errors)
     c = st.lcg_prime.shape[0]
     z = jnp.zeros((c,), jnp.int32)
@@ -456,6 +481,8 @@ def process_imbe4400_dataf(imbe_d, st, total_errors, c0_errors=None,
 
 def process_ambe2450_dataf(ambe_d, st, total_errors, c0_errors=None,
                            config=DEFAULT_CONFIG):
+    if isinstance(ambe_d, np.ndarray):
+        _check_bits(ambe_d)  # mbe_validate_bits(ambe_d, 49) on entry
     total_errors = _resolve_data_entry(total_errors, c0_errors, None)
     c = st.lcg_prime.shape[0]
     z = jnp.zeros((c,), jnp.int32)
@@ -467,6 +494,8 @@ def process_ambe2450_dataf(ambe_d, st, total_errors, c0_errors=None,
 
 def process_ambe2400_dataf(ambe_d, st, total_errors, c0_errors=None,
                            config=DEFAULT_CONFIG):
+    if isinstance(ambe_d, np.ndarray):
+        _check_bits(ambe_d)  # mbe_validate_bits(ambe_d, 49) on entry
     total_errors = _resolve_data_entry(total_errors, c0_errors, None)
     c = st.lcg_prime.shape[0]
     z = jnp.zeros((c,), jnp.int32)

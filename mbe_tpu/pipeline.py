@@ -13,8 +13,12 @@ import jax.numpy as jnp
 
 from .models import ambe, imbe
 from .models.state import ChannelState
+from .ops import bits as bit_ops
 from .ops import synth as synth_ops
 from .utils.config import DEFAULT as DEFAULT_CONFIG, DecoderConfig
+
+STATUS_OK = 0
+STATUS_INVALID_BITS = -2
 
 FLAG_SOFT_INPUT = 0x0001
 FLAG_C0_VALID = 0x0002
@@ -74,6 +78,18 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
     soft = soft_rel is not None
     base = (FLAG_SOFT_INPUT if soft else 0) | FLAG_C0_VALID
 
+    # Per-lane input validation — the vectorized MBE_STATUS_INVALID_BITS
+    # (mbe_result.h:18-42). The reference rejects a frame with non-0/1 bits
+    # before any output or state mutation (test_input_validation.c:72-100);
+    # here invalid lanes emit silence, keep their state untouched, and
+    # report result["status"] == -2. Bits are masked to {0,1} so the
+    # kernels below stay total (a no-op for valid lanes), and out-of-type
+    # reliabilities are clamped to the uint8 range the C type enforces.
+    lanes_valid = bit_ops.bits_valid(frame)
+    frame = frame & 1
+    if soft:
+        soft_rel = jnp.clip(jnp.asarray(soft_rel, jnp.int32), 0, 255)
+
     if codec == "imbe7200":
         d, c0, prot, c4 = imbe.decode_imbe7200_frame(frame, soft_rel)
         base |= FLAG_C4_VALID
@@ -105,7 +121,20 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
 
     new_state = ChannelState(cur=cur, prev=prev, enh=enh, comfort_rng=rng,
                              lcg_prime=lcgp)
+
+    # invalid lanes: silence out, state rolled back, zeroed result counts
+    # (the C returns MBE_STATUS_INVALID_BITS before touching anything)
+    def lane_sel(new, old):
+        v = lanes_valid.reshape((-1,) + (1,) * (new.ndim - 1))
+        return jnp.where(v, new, old)
+
+    new_state = jax.tree.map(lane_sel, new_state, state)
+    audio = jnp.where(lanes_valid[:, None], audio, 0.0)
     res = _result(c0, prot, c4, _pack_flags(base, fsm))
+    res = {k: jnp.where(lanes_valid, v, 0) for k, v in res.items()}
+    res["status"] = jnp.where(lanes_valid, STATUS_OK,
+                              STATUS_INVALID_BITS).astype(jnp.int32)
+    d = jnp.where(lanes_valid[:, None], d, 0)
     return new_state, audio, res, d
 
 

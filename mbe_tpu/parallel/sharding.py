@@ -44,10 +44,10 @@ def sharded_step(codec: str, mesh: Mesh, axis_name: str = "ch",
         st, audio, res, _ = pipeline.step(codec, frame, state)
         return st, audio, res
 
-    out_shardings = (None, data_spec, None)  # let XLA propagate state/res
+    # out_shardings left unset: XLA propagates the channel sharding from the
+    # inputs to every [C, ...] output (verified by test_sharding.py).
     return jax.jit(_step,
                    in_shardings=(data_spec, None),
-                   out_shardings=None,
                    donate_argnums=(1,) if donate else ())
 
 

@@ -76,3 +76,36 @@ def test_sharded_golden_sequence_matches_unsharded():
                                   np.asarray(ref_state.cur.L))
     np.testing.assert_array_equal(np.asarray(sh_state.cur.Vl),
                                   np.asarray(ref_state.cur.Vl))
+
+
+def test_global_channel_mesh_spec_math():
+    """Multi-host helpers: mesh covers every device in the job; a
+    channel-sharded array places each shard on its own device; per-process
+    channel ownership divides evenly (real multi-process semantics can't
+    run single-host — this pins the mesh/spec math)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = sharding.global_channel_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ("ch",)
+
+    ndev = len(jax.devices())
+    arr = np.arange(ndev * 4 * 160, dtype=np.float32).reshape(ndev * 4, 160)
+    sharded = jax.device_put(arr, NamedSharding(mesh, P("ch")))
+    assert len(sharded.addressable_shards) == ndev
+    for shard in sharded.addressable_shards:
+        assert shard.data.shape == (4, 160)
+    np.testing.assert_array_equal(np.asarray(sharded), arr)
+
+    # single-process: this process owns all channels
+    assert jax.process_count() == 1
+    assert sharding.host_local_channels(1024) == 1024
+
+
+def test_shard_state_places_leading_axis():
+    ndev = len(jax.devices())
+    mesh = sharding.channel_mesh()
+    state = sharding.shard_state(st.init_state(ndev * 2), mesh)
+    for leaf in jax.tree.leaves(state):
+        assert len(leaf.addressable_shards) == ndev
+        assert leaf.addressable_shards[0].data.shape[0] == 2

@@ -85,10 +85,13 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
     # report result["status"] == -2. Bits are masked to {0,1} so the
     # kernels below stay total (a no-op for valid lanes), and out-of-type
     # reliabilities are clamped to the uint8 range the C type enforces.
-    lanes_valid = bit_ops.bits_valid(frame)
-    frame = frame & 1
-    if soft:
-        soft_rel = jnp.clip(jnp.asarray(soft_rel, jnp.int32), 0, 255)
+    if config.validate_lanes:
+        lanes_valid = bit_ops.bits_valid(frame)
+        frame = frame & 1
+        if soft:
+            soft_rel = jnp.clip(jnp.asarray(soft_rel, jnp.int32), 0, 255)
+    else:
+        lanes_valid = None
 
     if codec == "imbe7200":
         d, c0, prot, c4 = imbe.decode_imbe7200_frame(frame, soft_rel)
@@ -122,6 +125,11 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
     new_state = ChannelState(cur=cur, prev=prev, enh=enh, comfort_rng=rng,
                              lcg_prime=lcgp)
 
+    res = _result(c0, prot, c4, _pack_flags(base, fsm))
+    if lanes_valid is None:
+        res["status"] = jnp.zeros_like(c0)
+        return new_state, audio, res, d
+
     # invalid lanes: silence out, state rolled back, zeroed result counts
     # (the C returns MBE_STATUS_INVALID_BITS before touching anything)
     def lane_sel(new, old):
@@ -130,7 +138,6 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
 
     new_state = jax.tree.map(lane_sel, new_state, state)
     audio = jnp.where(lanes_valid[:, None], audio, 0.0)
-    res = _result(c0, prot, c4, _pack_flags(base, fsm))
     res = {k: jnp.where(lanes_valid, v, 0) for k, v in res.items()}
     res["status"] = jnp.where(lanes_valid, STATUS_OK,
                               STATUS_INVALID_BITS).astype(jnp.int32)

@@ -19,11 +19,16 @@ class DecoderConfig:
       tones_enabled: False mirrors DISABLE_AMBE_TONES — tone frames render
         silence but the FSM classification/flags are unchanged.
       int16_output: convert PCM to int16 on-device (the `short` API).
+      validate_lanes: per-lane MBE_STATUS_INVALID_BITS masking inside the
+        jitted step (invalid lanes -> silence + state rollback + status=-2).
+        True mirrors the reference, which validates every frame on entry;
+        False is for trusted in-pipeline inputs already known to be 0/1.
     """
 
     codec: str = "imbe7200"
     tones_enabled: bool = True
     int16_output: bool = False
+    validate_lanes: bool = True
 
 
 DEFAULT = DecoderConfig()

@@ -13,12 +13,19 @@ measures the current pipeline; to A/B a change, import `measure` from a
 script that monkeypatches the candidate implementation between calls.
 """
 
+import os
 import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MBE_TPU_JAX_CACHE", "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 

@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Honest stage budget via ablation: monkeypatch one stage to a cheap
+stand-in INSIDE the real jitted step and diff against the unablated step
+time (isolated stage timing fuses differently and lies — see CLAUDE.md
+perf notes). PCM is consumed in the scan carry so XLA cannot dead-code the
+render.
+
+Usage: python tools/ablate.py [codec] [channels] [steps]
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MBE_TPU_JAX_CACHE", "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from mbe_tpu import pipeline  # noqa: E402
+from mbe_tpu.models import imbe, spectral, speech  # noqa: E402
+from mbe_tpu.models import state as st  # noqa: E402
+from mbe_tpu.ops import demod, ecc, enhance, noise, synth  # noqa: E402
+
+
+def build(codec, channels, steps):
+    rows, cols = pipeline.FRAME_SHAPES[codec]
+    rng = np.random.default_rng(0)
+    frame = jax.device_put(
+        rng.integers(0, 2, (channels, rows, cols), dtype=np.int32))
+
+    def body(carry, _):
+        s, acc = carry
+        s2, audio, res, _ = pipeline.step(codec, frame, s)
+        return (s2, acc + jnp.sum(audio)), 0
+
+    return jax.jit(lambda s0: jax.lax.scan(
+        body, (s0, jnp.float32(0)), None, length=steps)[0])
+
+
+def measure(fn, channels, steps, reps=3):
+    jax.block_until_ready(fn(st.init_state(channels)))
+    best = np.inf
+    for _ in range(reps):
+        s0 = st.init_state(channels)
+        jax.block_until_ready(s0)
+        t0 = time.time()
+        jax.block_until_ready(fn(s0))
+        best = min(best, (time.time() - t0) / steps)
+    return best
+
+
+# --- stage stand-ins (cheap, shape/dtype-preserving) -------------------------
+
+ABLATIONS = {
+    "golay_hard": (ecc, "golay2312_hard",
+                   lambda bits: (bits.astype(jnp.int32),
+                                 jnp.zeros(bits.shape[:-1], jnp.int32))),
+    "hamming_hard": (ecc, "hamming1511_hard",
+                     lambda bits, variant7100=False: (
+                         bits.astype(jnp.int32),
+                         jnp.zeros(bits.shape[:-1], jnp.int32))),
+    "demod_prng": (demod, "prng_bits",
+                   lambda seed, count: jnp.zeros(
+                       (seed.shape[0], count), jnp.int32)),
+    "param_decode": (imbe, "decode_imbe4400_parms",
+                     lambda d, cur, prev: (cur, prev,
+                                           jnp.zeros(d.shape[0], jnp.int32))),
+    "spectral_update": (spectral, "spectral_update",
+                        lambda cur_L, prev_L, prev_Ml, prev_log2Ml, Tl, *,
+                        weight, cur_Ml, cur_log2Ml: (
+                            cur_Ml, cur_log2Ml, prev_Ml, prev_log2Ml, cur_L)),
+    "enhance": (enhance, "spectral_amp_enhance",
+                lambda w0, L, Ml: (Ml, jnp.sum(Ml * Ml, axis=-1))),
+    "smoothing": (enhance, "adaptive_smoothing",
+                  lambda Ml, Vl, L, er, et, e4, le, at, rm0: (Ml, Vl, le, at)),
+    "voiced": (synth, "render_voiced",
+               lambda cw0, cMl, cVl, cPhi, pw0, pMl, pVl, pPhi, maxl:
+               jnp.zeros((cw0.shape[0], 160), jnp.float32)),
+    "unvoiced_fft": (synth, "unvoiced_fft",
+                     lambda w0, L, Ml, Vl, puw, nb: (
+                         jnp.zeros((w0.shape[0], 160), jnp.float32), puw)),
+    "lcg_noise": (noise, "generate_noise_with_overlap",
+                  lambda seed, overlap, prime: (
+                      jnp.zeros((seed.shape[0], 256), jnp.float32),
+                      seed, overlap)),
+    "comfort": (noise, "comfort_noise",
+                lambda limbs, n=160: (
+                    jnp.zeros((limbs.shape[0], n), jnp.float32), limbs)),
+    "phases": (synth, "update_phases",
+               lambda w0, L, psi, phi, pw0, ppsi, nb, nuv: (psi, phi, ppsi)),
+}
+
+
+def main():
+    codec = sys.argv[1] if len(sys.argv) > 1 else "imbe7200"
+    channels = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+
+    base_fn = build(codec, channels, steps)
+    t_base = measure(base_fn, channels, steps)
+    print(f"BASE {codec} C={channels}: {t_base*1e3:.3f} ms/step "
+          f"({channels/t_base:,.0f} f/s)", flush=True)
+
+    for name, (mod, attr, stub) in ABLATIONS.items():
+        if only and name not in only:
+            continue
+        orig = getattr(mod, attr)
+        setattr(mod, attr, stub)
+        try:
+            fn = build(codec, channels, steps)
+            t = measure(fn, channels, steps)
+        finally:
+            setattr(mod, attr, orig)
+        # re-measure base back-to-back to control drift
+        t_base2 = measure(base_fn, channels, steps)
+        ref = min(t_base, t_base2)
+        print(f"  -{name:16s}: {t*1e3:7.3f} ms/step  "
+              f"saves {(ref-t)*1e3:6.3f} ms ({(ref-t)/ref*100:5.1f}%)  "
+              f"[base now {t_base2*1e3:.3f}]", flush=True)
+
+
+if __name__ == "__main__":
+    main()

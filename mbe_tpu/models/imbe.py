@@ -8,7 +8,6 @@ by L9 lane-wise; all frame-type branching is mask-select.
 """
 
 import dataclasses
-import os
 from functools import lru_cache
 
 import jax
@@ -29,18 +28,29 @@ _B0_IDX = np.array([0, 1, 2, 3, 4, 5, 85, 86], np.int32)
 
 @lru_cache(maxsize=1)
 def _decode_tables():
-    """Host-precomputed dense layouts for the 48 distinct L values.
+    """Host-precomputed sparse layouts for the 48 distinct L values.
 
-    TPU note: per-lane gathers/scatters are slow on TPU, but every value the
-    decoder reads out of the bb[58][12] bit scatter (voicing bits, gain
-    codes, HOC codes) is LINEAR in the 88 input bits with L-dependent
-    weights. We therefore precompute one weight tensor W[48, 88, 116] and
-    evaluate all of them per frame as one-hot-selected MXU matmuls — no
-    scatter, no big gather. Output columns of W:
-      0..55   Vl bit for band l=1..56 (weight 1 at the source bit)
-      56      b2 gain index (weights 2^t)
-      57..61  gain codes bm for i=2..6
-      62..115 HOC codes bm for (i, k-2) in [6, 9]
+    TPU note: per-lane gathers/scatters are slow on TPU, but the bb[58][12]
+    bit scatter (imbe7200x4400.c:156-168) has special structure: every input
+    bit d[6+n] lands in exactly ONE decoded field, with a power-of-two
+    weight, and the field/weight depend only on L (48 variants). So instead
+    of a dense [48, 88, 116] weight tensor (whose [C, 48*128] product tensor
+    round-trips HBM), we precompute per-bit column/weight tables
+    (colT/wT [48, 88]), select them per lane with one tiny [C,48]@[48,88]
+    matmul each, and scatter-add into 72 reduced output columns with a fused
+    compare-reduce (no MXU, no big intermediate). Reduced column layout:
+      0..11   bb[1][t] voicing source bits (expanded to Vl[l] arithmetically:
+              Vl[l] = bb[1][max(K-1-(l-1)/3, 0)], imbe7200x4400.c:170-188)
+      12      b2 gain index (weights 2^t)
+      13..17  gain codes bm for i=2..6
+      18..71  HOC codes bm for (i, k-2) in [6, 9]
+
+    The per-L Tl IDCT (imbe7200x4400.c:251-270) is likewise factored into
+    its 6 blocks: U[(c,i), (ji,j)] = Cik_block @ Midct (one [C*6,10]@[10,110]
+    matmul over the 11 possible block sizes), a fused one-hot reduce over
+    the per-block size jivar[c,i] = Ji[L9,i], and a fused slot->band scatter
+    via scl[c,l] = i(l)*10 + j(l)-1. Bitwise identical to the dense form:
+    the dropped terms are exact zeros and f32 `x+0 == x`.
     """
     Ji = np.asarray(T.ImbeJi)          # [48, 6]
     hoba = np.asarray(T.hoba)          # [48, 50]
@@ -61,8 +71,9 @@ def _decode_tables():
         L = L9 + 9
         K_of[L9] = (L + 2) // 3 if L < 37 else 12
 
-    NOUT = 116
-    W = np.zeros((48, 88, NOUT), np.float32)
+    NCOLS = 72  # 12 bb1 + 1 b2 + 5 gains + 54 HOC
+    colT = np.full((48, 88), NCOLS, np.int32)  # NCOLS = dead (never matches)
+    wT = np.zeros((48, 88), np.float32)
     m_valid = np.zeros((48, 6, 9), bool)
     hoc_qfac = np.zeros((48, 54), np.float32)   # quantstep*standdev (f32)
     hoc_off = np.zeros((48, 54), np.float32)    # exp2f(Bm-1)
@@ -70,25 +81,26 @@ def _decode_tables():
     qs = np.asarray(T.quantstep)
     sd = np.asarray(T.standdev)
     for L9 in range(48):
-        K = K_of[L9]
-        # voicing: Vl[l] = bb[1][max(K-1-(l-1)//3, 0)]
-        for l in range(1, 57):
-            t = max(K - 1 - (l - 1) // 3, 0)
+        # voicing source bits: bb[1][t], t=0..11
+        for t in range(12):
             s = src[L9, 1, t]
             if s >= 0:
-                W[L9, s, l - 1] = 1.0
+                colT[L9, s] = t
+                wT[L9, s] = 1.0
         # b2 = bits_descending(bb[2], 5, 0)
         for t in range(6):
             s = src[L9, 2, t]
             if s >= 0:
-                W[L9, s, 56] = float(1 << t)
+                colT[L9, s] = 12
+                wT[L9, s] = float(1 << t)
         # gains i=2..6: bm over ba_bits bits of bb[i+1]
         for i in range(2, 7):
             nb = gain_bits[L9, i - 2]
             for t in range(nb):
                 s = src[L9, i + 1, t]
                 if s >= 0:
-                    W[L9, s, 57 + (i - 2)] = float(1 << t)
+                    colT[L9, s] = 13 + (i - 2)
+                    wT[L9, s] = float(1 << t)
         # HOC: slot (i, k-2) reads Bm bits of bb[m]
         m = 8
         for i in range(6):
@@ -100,21 +112,27 @@ def _decode_tables():
                     for t in range(Bm):
                         s = src[L9, m, t]
                         if s >= 0:
-                            W[L9, s, 62 + slot] = float(1 << t)
+                            colT[L9, s] = 18 + slot
+                            wT[L9, s] = float(1 << t)
                     hoc_qfac[L9, slot] = np.float32(qs[Bm - 1]) * np.float32(sd[k - 2])
                     hoc_off[L9, slot] = np.float32(2.0) ** np.float32(Bm - 1)
                 m += 1
 
-    # Tl matrix (per L9): Tl[l] = sum_k ak * Cik[i_of_l][k] * idct[ji][j][k]
-    TlM = np.zeros((48, 57, 60), np.float32)
+    # Tl block-IDCT factorization (imbe7200x4400.c:251-270):
+    #   Midct[k-1, ji*10 + (j-1)] = ak * idct[ji][j][k]  (zero for j/k > ji)
+    #   scl[L9, l] = i(l)*10 + (j(l)-1), -1 outside 1..L
+    Midct = np.zeros((10, 110), np.float32)
+    for ji in range(1, 11):
+        for j in range(1, ji + 1):
+            for k in range(1, ji + 1):
+                ak = 1.0 if k == 1 else 2.0
+                Midct[k - 1, ji * 10 + (j - 1)] = ak * idct[ji, j, k]
+    scl = np.full((48, 57), -1, np.int32)
     for L9 in range(48):
         l = 1
         for i in range(6):
-            ji = Ji[L9, i]
-            for j in range(1, ji + 1):
-                for k in range(1, ji + 1):
-                    ak = 1.0 if k == 1 else 2.0
-                    TlM[L9, l, i * 10 + (k - 1)] = ak * idct[ji, j, k]
+            for j in range(1, Ji[L9, i] + 1):
+                scl[L9, l] = i * 10 + (j - 1)
                 l += 1
 
     # Ri IDCT matrix: Ri[i] = sum_m am * Gm[m] * ri_cos[m][i], m,i in 1..6
@@ -129,35 +147,14 @@ def _decode_tables():
     gain_step = ba[:, :, 1].astype(np.float32)        # [48, 5]
     gain_off = (2.0 ** (gain_bits - 1)).astype(np.float32)
 
-    # MXU-friendly layout: contract the 88 bit inputs FIRST
-    # (Y[c,(g,o)] = d @ Wt), pad the output column to the 128-lane tile.
-    NPAD = 128
-    Wp = np.zeros((48, 88, NPAD), np.float32)
-    Wp[:, :, :NOUT] = W
-    Wt = np.ascontiguousarray(Wp.transpose(1, 0, 2).reshape(88, 48 * NPAD))
-
     return dict(
-        Wt=Wt, NOUT=NOUT, NPAD=NPAD,
-        TlM2=TlM.reshape(48, 57 * 60), RiM=RiM,
+        NCOLS=NCOLS, colT=colT.astype(np.float32), wT=wT,
+        Midct=Midct, scl=scl.astype(np.float32),
+        Ji=np.ascontiguousarray(Ji.astype(np.float32)), RiM=RiM,
         m_valid=m_valid.reshape(48, 54),
         hoc_qfac=hoc_qfac, hoc_off=hoc_off,
         gain_step=gain_step, gain_off=gain_off,
         L_by_b0=L_by_b0)
-
-
-def _use_pallas(c: int) -> bool:
-    """Use the fused Pallas decode kernels (ops/pallas/decode.py)?
-    MBE_TPU_PALLAS: 1=always, 0=never (default), auto=TPU only. Requires the
-    channel count to be a multiple of the 128-channel kernel block.
-    Measured at C=16384 the Pallas path is currently ~20% slower than the
-    XLA path (per-block MXU under-utilization + unrolled group reduce), so
-    XLA stays the default; see docs/PERFORMANCE.md."""
-    mode = os.environ.get("MBE_TPU_PALLAS", "0")
-    if mode == "0" or c % 128 != 0:
-        return False
-    if mode == "1":
-        return True
-    return jax.default_backend() == "tpu"
 
 
 def _onehot_select(onehot, table2d, out_shape):
@@ -190,34 +187,40 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     L9 = L - 9
     onehot = jax.nn.one_hot(L9, 48, dtype=jnp.float32)  # [C, 48]
 
-    # --- all bit-layout reads as one MXU matmul + masked group-sum ---------
+    # --- all bit-layout reads as a fused per-bit scatter-add ---------------
     # (replaces the bb[58][12] scatter of imbe7200x4400.c:156-168 and every
-    # bits_descending read; values are exact small integers in f32).
+    # bits_descending read; values are exact small integers in f32). Each
+    # input bit feeds exactly one reduced column with a 2^t weight, so two
+    # tiny [C,48]@[48,88] selects + one fused compare-reduce replace the old
+    # [C,88]@[88,48*128] matmul and its HBM-resident product tensor.
     df = d.astype(jnp.float32)
-    if _use_pallas(c):
-        from ..ops.pallas import decode as pallas_decode
-        vals = pallas_decode.vals_pallas(
-            df, onehot, jnp.asarray(tb["Wt"]))[:, :tb["NOUT"]]
-    else:
-        Y = jnp.matmul(df, jnp.asarray(tb["Wt"]), precision=hp,
-                       preferred_element_type=jnp.float32)  # [C, 48*128]
-        Y = Y.reshape(c, 48, tb["NPAD"])
-        vals = jnp.einsum("cg,cgo->co", onehot, Y, precision=hp,
-                          preferred_element_type=jnp.float32)[:, :tb["NOUT"]]
+    colsel = jnp.matmul(onehot, jnp.asarray(tb["colT"]), precision=hp,
+                        preferred_element_type=jnp.float32)  # [C, 88]
+    wsel = jnp.matmul(onehot, jnp.asarray(tb["wT"]), precision=hp,
+                      preferred_element_type=jnp.float32)    # [C, 88]
+    p = wsel * df
+    cols = jnp.arange(tb["NCOLS"], dtype=jnp.float32)
+    vals = jnp.sum(jnp.where(colsel[:, :, None] == cols[None, None, :],
+                             p[:, :, None], 0.0), axis=1)    # [C, 72]
 
     # --- voicing (imbe7200x4400.c:170-188) --------------------------------
+    # Vl[l] = bb[1][max(K-1-(l-1)/3, 0)]: expand the 12 bb[1] source bits
+    # with the t(l) index computed arithmetically per lane.
     li = jnp.arange(57, dtype=jnp.int32)[None, :]
-    vl_bits = jnp.concatenate(
-        [jnp.zeros((c, 1), jnp.float32), vals[:, :56]], axis=1).astype(jnp.int32)
+    tl_idx = jnp.clip(K[:, None] - 1 - (li - 1) // 3, 0, 11)
+    bb1 = vals[:, :12]
+    vl_bits = jnp.sum(
+        jnp.where(tl_idx[:, :, None] == jnp.arange(12, dtype=jnp.int32)[None, None, :],
+                  bb1[:, None, :], 0.0), axis=-1).astype(jnp.int32)  # [C, 57]
     band_mask = (li >= 1) & (li <= L[:, None])
     Vl = jnp.where(band_mask, vl_bits, cur.Vl)
 
     # --- gains (imbe7200x4400.c:190-209) ----------------------------------
-    b2 = vals[:, 56].astype(jnp.int32)
+    b2 = vals[:, 12].astype(jnp.int32)
     Gm1 = jnp.take(jnp.asarray(T.B2), b2, axis=0)
     gain_step = _onehot_select(onehot, tb["gain_step"], (5,))
     gain_off = _onehot_select(onehot, tb["gain_off"], (5,))
-    Gm_rest = gain_step * ((vals[:, 57:62] - gain_off) + jnp.float32(0.5))
+    Gm_rest = gain_step * ((vals[:, 13:18] - gain_off) + jnp.float32(0.5))
     Gm = jnp.concatenate([Gm1[:, None], Gm_rest], axis=-1)  # [C, 6]
 
     # --- Ri = 6-pt IDCT (imbe7200x4400.c:211-231) -------------------------
@@ -228,20 +231,33 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     qfac = _onehot_select(onehot, tb["hoc_qfac"], (54,))
     off = _onehot_select(onehot, tb["hoc_off"], (54,))
     valid = _onehot_select(onehot, tb["m_valid"].astype(np.float32), (54,)) > 0.5
-    hoc = qfac * ((vals[:, 62:116] - off) + jnp.float32(0.5))
+    hoc = qfac * ((vals[:, 18:72] - off) + jnp.float32(0.5))
     hoc = jnp.where(valid, hoc, 0.0).reshape(c, 6, 9)
 
     # Cik flattened to [C, 60] in (i, k-1) layout: k=1 -> Ri, k>=2 -> hoc
     Cik = jnp.concatenate([Ri[..., None], hoc], axis=-1).reshape(c, 60)
 
-    # --- Tl via per-L dense matrix (imbe7200x4400.c:251-270) --------------
-    if _use_pallas(c):
-        from ..ops.pallas import decode as pallas_decode
-        Tl = pallas_decode.tl_pallas(Cik, onehot)
-    else:
-        TlM = _onehot_select(onehot, tb["TlM2"], (57, 60))  # [C, 57, 60]
-        Tl = jnp.einsum("clk,ck->cl", TlM, Cik, precision=hp,
-                        preferred_element_type=jnp.float32)
+    # --- Tl via factored block-IDCT (imbe7200x4400.c:251-270) -------------
+    # U[(c,i), (ji,j)] = all 11 block-size IDCTs of every Cik block at once
+    # (one small matmul), then fused one-hot reduces over the actual block
+    # size Ji[L9,i] and the slot->band map scl (see _decode_tables). Bitwise
+    # identical to contracting the dense per-L [57,60] matrix.
+    U = jnp.matmul(Cik.reshape(c * 6, 10), jnp.asarray(tb["Midct"]),
+                   precision=hp,
+                   preferred_element_type=jnp.float32)  # [C*6, 110]
+    U = U.reshape(c, 6, 11, 10)
+    jivar = jnp.matmul(onehot, jnp.asarray(tb["Ji"]), precision=hp,
+                       preferred_element_type=jnp.float32)  # [C, 6]
+    Usel = jnp.sum(
+        jnp.where(jivar[:, :, None, None]
+                  == jnp.arange(11, dtype=jnp.float32)[None, None, :, None],
+                  U, 0.0), axis=2).reshape(c, 60)  # [C, 6, 10] -> [C, 60]
+    scl = jnp.matmul(onehot, jnp.asarray(tb["scl"]), precision=hp,
+                     preferred_element_type=jnp.float32)  # [C, 57]
+    Tl = jnp.sum(
+        jnp.where(scl[:, :, None]
+                  == jnp.arange(60, dtype=jnp.float32)[None, None, :],
+                  Usel[:, None, :], 0.0), axis=-1)  # [C, 57]
 
     # --- spectral amplitude prediction (imbe7200x4400.c:272-354) ----------
     rho = jnp.where(L <= 15, jnp.float32(0.4),
@@ -308,27 +324,27 @@ def decode_imbe7200_frame(frame, soft_rel=None):
         k += 15
     row7 = f[:, 7, :]
 
-    # data ECC + 88-bit packing (imbe7200x4400.c:469-515)
+    # data ECC + 88-bit packing (imbe7200x4400.c:469-515). The 3 Golay and
+    # 3 Hamming blocks are independent, so they run as ONE batched decode
+    # each ([C,3,n] leading dims) — one score matmul per code instead of
+    # three, 3x the MXU tile occupancy on the soft path.
+    g_in = jnp.stack(rows[1:4], axis=1)  # [C, 3, 23]
+    h_in = jnp.stack(rows[4:7], axis=1)  # [C, 3, 15]
+    if soft:
+        # demodulation flips hard decisions, keeps reliabilities
+        g_out, g_errs = ecc.golay2312_soft(g_in, soft_rel[:, 1:4, :])
+        h_out, h_errs = ecc.hamming1511_soft(h_in, soft_rel[:, 4:7, :15])
+    else:
+        g_out, g_errs = ecc.golay2312_hard(g_in)
+        h_out, h_errs = ecc.hamming1511_hard(h_in)
+    perrs = jnp.sum(g_errs, axis=1) + jnp.sum(h_errs, axis=1)
+    c4_errs = h_errs[:, 0]
+
     dparts = [rows[0][:, 22:10:-1]]  # C0 data bits 22..11 (12 bits)
-    perrs = 0
-    c4_errs = None
-    for i in range(1, 4):
-        if soft:
-            # demodulation flips hard decisions, keeps reliabilities
-            g_out, g_errs = ecc.golay2312_soft(rows[i], soft_rel[:, i, :])
-        else:
-            g_out, g_errs = ecc.golay2312_hard(rows[i])
-        perrs = perrs + g_errs
-        dparts.append(g_out[:, 22:10:-1])
-    for i in range(4, 7):
-        if soft:
-            h_out, h_errs = ecc.hamming1511_soft(rows[i], soft_rel[:, i, :15])
-        else:
-            h_out, h_errs = ecc.hamming1511_hard(rows[i])
-        perrs = perrs + h_errs
-        if i == 4:
-            c4_errs = h_errs
-        dparts.append(h_out[:, 14:3:-1])  # bits 14..4 (11 bits)
+    for i in range(3):
+        dparts.append(g_out[:, i, 22:10:-1])
+    for i in range(3):
+        dparts.append(h_out[:, i, 14:3:-1])  # bits 14..4 (11 bits)
     dparts.append(row7[:, 6::-1])  # 7 bits 6..0
     imbe_d = jnp.concatenate(dparts, axis=-1)
     return imbe_d, c0_errs, perrs, c4_errs
@@ -434,30 +450,27 @@ def decode_imbe7100_frame(frame, soft_rel=None):
         rows45.append(f[:, i, :15] ^ pr[:, k:k + 15][:, ::-1])
         k += 15
 
-    dparts = [fr0[:, 18:11:-1]]  # C0 bits 18..12 (7 bits)
+    # The 3 data Golay blocks and 2 Hamming blocks batch into one decode
+    # each (see decode_imbe7200_frame).
+    g_in = jnp.stack([row1[:, 1:24]] + rows23, axis=1)  # [C, 3, 23]
+    h_in = jnp.stack(rows45, axis=1)                    # [C, 2, 15]
     if soft:
-        g_out, perrs = ecc.golay2312_soft(row1[:, 1:24], soft_rel[:, 1, 1:24])
+        g_rel = jnp.stack([soft_rel[:, 1, 1:24], soft_rel[:, 2, :23],
+                           soft_rel[:, 3, :23]], axis=1)
+        g_out, g_errs = ecc.golay2312_soft(g_in, g_rel)
+        h_out, h_errs = ecc.hamming1511_soft(h_in, soft_rel[:, 4:6, :15],
+                                             variant7100=True)
     else:
-        g_out, perrs = ecc.golay2312_hard(row1[:, 1:24])
-    dparts.append(g_out[:, 22:10:-1])
-    c4_errs = None
-    for idx, r in enumerate(rows23):
-        if soft:
-            g_out, g_errs = ecc.golay2312_soft(r, soft_rel[:, 2 + idx, :23])
-        else:
-            g_out, g_errs = ecc.golay2312_hard(r)
-        perrs = perrs + g_errs
-        dparts.append(g_out[:, 22:10:-1])
-    for idx, r in enumerate(rows45):
-        if soft:
-            h_out, h_errs = ecc.hamming1511_soft(r, soft_rel[:, 4 + idx, :15],
-                                                 variant7100=True)
-        else:
-            h_out, h_errs = ecc.hamming1511_hard(r, variant7100=True)
-        perrs = perrs + h_errs
-        if idx == 0:
-            c4_errs = h_errs
-        dparts.append(h_out[:, 14:3:-1])
+        g_out, g_errs = ecc.golay2312_hard(g_in)
+        h_out, h_errs = ecc.hamming1511_hard(h_in, variant7100=True)
+    perrs = jnp.sum(g_errs, axis=1) + jnp.sum(h_errs, axis=1)
+    c4_errs = h_errs[:, 0]
+
+    dparts = [fr0[:, 18:11:-1]]  # C0 bits 18..12 (7 bits)
+    for i in range(3):
+        dparts.append(g_out[:, i, 22:10:-1])
+    for i in range(2):
+        dparts.append(h_out[:, i, 14:3:-1])
     dparts.append(f[:, 6, 22::-1])  # C6: 23 raw bits 22..0
     imbe_d = jnp.concatenate(dparts, axis=-1)
     imbe_d = convert_7100_to_7200(imbe_d)

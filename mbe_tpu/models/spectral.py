@@ -7,7 +7,6 @@ interpolation weight (rho vs 0.65), the gain term (none vs BigGamma), and
 the unvoiced magnitude factor.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,26 +15,38 @@ _IDX_F = np.arange(57, dtype=np.float32)
 
 
 def _permute(src, *arrays):
-    """out[c, l] = arr[c, src[c, l]] without a TPU gather: build the one-hot
-    permutation from comparisons and contract it (gathers are slow on TPU;
-    [C,57,57] compare+einsum is cheap VPU work)."""
-    oh = (src[:, :, None]
-          == jnp.arange(57, dtype=jnp.int32)[None, None, :]).astype(jnp.float32)
-    hp = jax.lax.Precision.HIGHEST
-    return [jnp.einsum("clm,cm->cl", oh, a, precision=hp,
-                       preferred_element_type=jnp.float32) for a in arrays]
+    """out[c, l] = arr[c, src[c, l]] without a TPU gather: compare src
+    against every source index and reduce (gathers are slow on TPU; the
+    [C,57,57] compare never hits HBM — XLA fuses it into the reduction,
+    unlike a one-hot einsum whose f32 operand gets materialized)."""
+    eq = (src[:, :, None] == jnp.arange(57, dtype=jnp.int32)[None, None, :])
+    return [jnp.sum(jnp.where(eq, a[:, None, :], 0.0), axis=-1)
+            for a in arrays]
+
+
+def _row_at(idx, arr):
+    """arr[c, idx[c]] as a fused compare-reduce ([C] scalar per channel)."""
+    eq = (jnp.arange(57, dtype=jnp.int32)[None, :] == idx[:, None])
+    return jnp.sum(jnp.where(eq, arr, 0.0), axis=-1)
 
 
 def extend_prev(prev_Ml, prev_log2Ml, cur_L, prev_L):
     """Prev-model extension + [0]=[1] aliasing (imbe7200x4400.c:303-310,
-    ambe3600x2450.c:406-414). Returns mutated (prev_Ml, prev_log2Ml)."""
+    ambe3600x2450.c:406-414). Returns mutated (prev_Ml, prev_log2Ml).
+
+    The source index is prev_L inside the extension region, l elsewhere,
+    and 1 at l==0 — so instead of a full permutation this is two per-channel
+    scalar picks + masked selects."""
     idx = jnp.asarray(_IDX)[None, :]
     ext = ((cur_L > prev_L)[:, None] & (idx > prev_L[:, None])
            & (idx <= cur_L[:, None]))
-    src = jnp.where(ext, prev_L[:, None], idx)
-    src = jnp.where(idx == 0, 1, src)
-    pM, pL = _permute(src, prev_Ml, prev_log2Ml)
-    return pM, pL
+
+    def one(a):
+        at_L = _row_at(prev_L, a)[:, None]
+        out = jnp.where(ext, at_L, a)
+        return jnp.where(idx == 0, a[:, 1:2], out)
+
+    return one(prev_Ml), one(prev_log2Ml)
 
 
 def spectral_update(cur_L, prev_L, prev_Ml, prev_log2Ml, Tl, *,

@@ -124,23 +124,27 @@ def _soft_decode(bits, rel, codewords, data_lo, n):
     """
     bits = bits.astype(jnp.int32)
     rel = rel.astype(jnp.int32)
-    cw = jnp.asarray(codewords.astype(np.float32))  # [ncw, n]
+    # bf16 operands are EXACT here: every factor is an integer <= 255 (8
+    # significand bits hold integers <= 256) and accumulation is forced to
+    # f32 (sums < 2^24) — one MXU pass instead of the 6-pass f32-HIGHEST
+    # decomposition, on the soft path's dominant matmuls.
+    cw = jnp.asarray(codewords.astype(np.float32)).astype(jnp.bfloat16)
     ncw = codewords.shape[0]
 
     # score_c = sum_i rel_i * (bit_i != cw_ci)
     #         = sum_i rel_i*bit_i + sum_i rel_i*(1-2*bit_i)*cw_ci
     base = jnp.sum(rel * bits, axis=-1)  # [...]
-    q = (rel * (1 - 2 * bits)).astype(jnp.float32)  # [..., n]
+    q = (rel * (1 - 2 * bits)).astype(jnp.bfloat16)  # [..., n]
     score = base[..., None] + jnp.matmul(
-        q, cw.T, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32).astype(jnp.int32)
+        q, cw.T, preferred_element_type=jnp.float32).astype(jnp.int32)
 
     # diffs_c over bits [data_lo, n): hamming distance of hard bits vs cw.
-    h = bits[..., data_lo:].astype(jnp.float32)
+    h = bits[..., data_lo:].astype(jnp.bfloat16)
     cwd = cw[:, data_lo:]
     # dist = sum h + sum cw - 2 h.cw
-    dist = (jnp.sum(h, axis=-1)[..., None] + jnp.sum(cwd, axis=-1)
-            - 2.0 * jnp.matmul(h, cwd.T, precision=jax.lax.Precision.HIGHEST,
+    dist = (jnp.sum(h.astype(jnp.float32), axis=-1)[..., None]
+            + jnp.sum(cwd.astype(jnp.float32), axis=-1)
+            - 2.0 * jnp.matmul(h, cwd.T,
                                preferred_element_type=jnp.float32))
     diffs = dist.astype(jnp.int32)  # [..., ncw]
     return score, diffs, ncw

@@ -1,1 +1,1 @@
-from . import decode  # noqa: F401
+from . import softecc, voiced  # noqa: F401

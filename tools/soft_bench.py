@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Soft-path throughput (exhaustive-ML ECC): same methodology as
+tools/ab_bench.py (PCM consumed in the scan carry, best-of-N within one
+process).
+
+Usage: python tools/soft_bench.py [codec] [channels] [reps]
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MBE_TPU_JAX_CACHE", "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from mbe_tpu import pipeline  # noqa: E402
+from mbe_tpu.models import state as st  # noqa: E402
+
+
+def build(codec: str, channels: int, steps: int = 50):
+    rows, cols = pipeline.FRAME_SHAPES[codec]
+    rng = np.random.default_rng(0)
+    frame = jax.device_put(
+        rng.integers(0, 2, (channels, rows, cols), dtype=np.int32))
+    rel = jax.device_put(
+        rng.integers(0, 256, (channels, rows, cols), dtype=np.int32))
+
+    def body(carry, _):
+        s, acc = carry
+        s2, audio, res, _ = pipeline.step(codec, frame, s, soft_rel=rel)
+        return (s2, acc + jnp.sum(audio)), 0  # consume the PCM
+
+    return jax.jit(lambda s0: jax.lax.scan(
+        body, (s0, jnp.float32(0)), None, length=steps)[0]), steps
+
+
+def measure(fn, channels: int, steps: int, reps: int = 3):
+    jax.block_until_ready(fn(st.init_state(channels)))
+    best = np.inf
+    for _ in range(reps):
+        s0 = st.init_state(channels)
+        jax.block_until_ready(s0)
+        t0 = time.time()
+        jax.block_until_ready(fn(s0))
+        best = min(best, (time.time() - t0) / steps)
+    return best
+
+
+if __name__ == "__main__":
+    codec = sys.argv[1] if len(sys.argv) > 1 else "imbe7200"
+    channels = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    fn, steps = build(codec, channels)
+    dt = measure(fn, channels, steps, reps)
+    print(f"SOFT {codec} C={channels}: {dt * 1e3:.3f} ms/step -> "
+          f"{channels / dt:,.0f} frames/s ({channels / dt / 50:,.0f}x rt)")

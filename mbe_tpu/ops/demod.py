@@ -7,9 +7,41 @@ tables (tables.npz: demod_prng_A/B) — the whole keystream for a batch of
 frames is one elementwise expression, no scan.
 """
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..tables import T
+
+
+def prng_keywords(seed, widths):
+    """Keystream packed into one int32 word per demodulated row.
+
+    The decoders XOR keystream bit k+m into column (width-1-m) of row words
+    (the C applies pr MSB-column-first, ambe_common.c:94-99). Building the
+    whole keystream as packed words keeps the hard frame path lane-dense:
+    one [.., total]@[total, nrows] exact-f32 matmul instead of [.., width]
+    bit planes per row.
+
+    Args:
+      seed: [...] int32 pr[0] (already multiplied by 16 by callers).
+      widths: static tuple of per-row bit widths (e.g. (23,23,23,15,15,15)).
+    Returns:
+      [..., len(widths)] int32 key words (bit j of word r = pr bit
+      offset_r + (width_r-1-j)).
+    """
+    total = sum(widths)
+    W = np.zeros((total, len(widths)), np.float32)
+    k = 0
+    for r, w in enumerate(widths):
+        for m in range(w):
+            W[k + m, r] = float(1 << (w - 1 - m))
+        k += w
+    bits = prng_bits(seed, total).astype(jnp.float32)
+    words = jnp.matmul(bits, jnp.asarray(W),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    return words.astype(jnp.int32)
 
 
 def prng_bits(seed, count):

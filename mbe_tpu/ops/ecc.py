@@ -67,23 +67,28 @@ def _popcount12(x):
     return (x + (x >> 8)) & 0x1F
 
 
-def golay2312_hard(bits):
-    """Decode Golay(23,12) codewords.
+def popcount32(x):
+    """Population count of non-negative int32 lanes (SWAR)."""
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x + (x >> 8) + (x >> 16) + (x >> 24)) & 0x3F
 
-    Args:
-      bits: [..., 23] int32 in {0,1}, LSB-first (parity 0..10, data 11..22).
-    Returns:
-      (out_bits [..., 23], errs [...]) — parity bits pass through uncorrected
-      and errs counts corrected data-bit errors (ecc.c:259-301).
 
-    Packed-word formulation: the bit-plane arrays have tiny trailing dims
-    that waste VPU lanes, so the codeword is packed into one int32 lane and
-    the 11 syndrome parities run as xor-folds over generator masks —
-    ~30 lane-dense int ops instead of dozens of [.., 23]-shaped ones.
+def golay2312_hard_packed(word):
+    """Packed-word Golay(23,12) hard decode.
+
+    Args: word [...] int32 — codeword in the low 23 bits, LSB-first layout
+    (parity 0..10, data 11..22).
+    Returns: (out_word [...] with corrected data / untouched parity bits,
+    errs [...]) — errs counts corrected data-bit errors (ecc.c:259-301).
+
+    The 11 syndrome parities run as xor-folds over generator masks — ~30
+    lane-dense int ops, no bit-plane arrays at all.
     """
-    bits = bits.astype(jnp.int32)
-    data = jnp.sum(bits[..., 11:] * jnp.asarray(_POW2_12), axis=-1)  # 12-bit
-    ecc_in = jnp.sum(bits[..., :11] * jnp.asarray(_POW2_11), axis=-1)
+    word = word.astype(jnp.int32)
+    data = word >> 11
+    ecc_in = word & 0x7FF
 
     # ecc_expected: row i of golayGenerator selected by codeword bit 22-i ==
     # data bit 11-i; as parity over per-parity-bit masks of the data word.
@@ -102,7 +107,22 @@ def golay2312_hard(bits):
     mask = jnp.take(jnp.asarray(T.golayMatrix), syndrome, axis=0)
     corrected = data ^ mask
     errs = _popcount12(data ^ corrected)
-    out_data = (corrected[..., None] >> jnp.arange(12, dtype=jnp.int32)) & 1
+    return (corrected << 11) | ecc_in, errs
+
+
+def golay2312_hard(bits):
+    """Decode Golay(23,12) codewords.
+
+    Args:
+      bits: [..., 23] int32 in {0,1}, LSB-first (parity 0..10, data 11..22).
+    Returns:
+      (out_bits [..., 23], errs [...]) — parity bits pass through uncorrected
+      and errs counts corrected data-bit errors (ecc.c:259-301).
+    """
+    bits = bits.astype(jnp.int32)
+    word = jnp.sum(bits * jnp.asarray(_POW2_23), axis=-1)
+    out_word, errs = golay2312_hard_packed(word)
+    out_data = (out_word[..., None] >> jnp.arange(11, 23, dtype=jnp.int32)) & 1
     out = jnp.concatenate([bits[..., :11], out_data], axis=-1)
     return out, errs
 
@@ -195,13 +215,12 @@ def golay2312_soft(bits, rel):
     return out, best_diffs
 
 
-def hamming1511_hard(bits, variant7100=False):
-    """Hamming(15,11) hard decode (ecc.c:366-464). 0/1 errors corrected.
+def hamming1511_hard_packed(block, variant7100=False):
+    """Packed-word Hamming(15,11) hard decode (ecc.c:366-464).
 
-    Packed-word formulation (see golay2312_hard): block in one int32 lane,
-    4 syndrome parities as xor-folds over the generator masks."""
-    bits = bits.astype(jnp.int32)
-    block = jnp.sum(bits * jnp.asarray(_POW2_15), axis=-1)
+    Args: block [...] int32, codeword in the low 15 bits.
+    Returns: (corrected block, errs) — 0/1 errors corrected."""
+    block = block.astype(jnp.int32)
     gen = np.asarray(
         T.imbe7100x4400hammingGenerator if variant7100
         else T.hammingGenerator, np.int32)
@@ -209,10 +228,18 @@ def hamming1511_hard(bits, variant7100=False):
     syndrome = jnp.sum(syn_bits * jnp.asarray([1, 2, 4, 8], dtype=jnp.int32),
                        axis=-1)
     lut = jnp.asarray(T.ham1511_7100_lut if variant7100 else T.ham1511_lut)
-    mask = jnp.take(lut, syndrome, axis=0)
-    corrected = block ^ mask
-    out = (corrected[..., None] >> jnp.arange(15, dtype=jnp.int32)) & 1
+    corrected = block ^ jnp.take(lut, syndrome, axis=0)
     errs = (syndrome > 0).astype(jnp.int32)
+    return corrected, errs
+
+
+def hamming1511_hard(bits, variant7100=False):
+    """Hamming(15,11) hard decode over bit-plane input (see the packed
+    variant for the lane-dense core)."""
+    bits = bits.astype(jnp.int32)
+    block = jnp.sum(bits * jnp.asarray(_POW2_15), axis=-1)
+    corrected, errs = hamming1511_hard_packed(block, variant7100)
+    out = (corrected[..., None] >> jnp.arange(15, dtype=jnp.int32)) & 1
     return out, errs
 
 

@@ -6,6 +6,7 @@ the MXU eats these shapes, and XLA can fuse the surrounding window/scale
 elementwise ops. Matches jnp.fft.rfft/irfft to ~1e-6 relative (f32 HIGHEST).
 """
 
+import os
 from functools import lru_cache
 
 import jax
@@ -14,6 +15,18 @@ import numpy as np
 
 N = 256
 NBINS = N // 2 + 1
+
+
+def _prec():
+    """DFT matmul precision. Default `high` (bf16_3x, ~2^-21 relative):
+    measured identical worst-case golden SNR (68.4 dB) at half the MXU
+    passes of `highest` — the DFT feeds audio directly, with no compounding
+    predictor downstream (the WOLA overlap decays), so the round-1 HIGHEST
+    rule (log2Ml predictor, models/spectral.py) does not bind here.
+    MBE_TPU_FFT_PRECISION=highest restores the 6-pass decomposition."""
+    mode = os.environ.get("MBE_TPU_FFT_PRECISION", "high")
+    return (jax.lax.Precision.HIGH if mode == "high"
+            else jax.lax.Precision.HIGHEST)
 
 
 @lru_cache(maxsize=1)
@@ -37,7 +50,7 @@ def _mats():
 def rfft256(x):
     """[..., 256] f32 -> (re [..., 129], im [..., 129])."""
     fc, fs, _, _ = _mats()
-    hp = jax.lax.Precision.HIGHEST
+    hp = _prec()
     re = jnp.matmul(x, jnp.asarray(fc), precision=hp,
                     preferred_element_type=jnp.float32)
     im = jnp.matmul(x, jnp.asarray(fs), precision=hp,
@@ -48,7 +61,7 @@ def rfft256(x):
 def irfft256(re, im):
     """(re, im) [..., 129] -> x [..., 256] f32 (numpy irfft semantics)."""
     _, _, ic, isn = _mats()
-    hp = jax.lax.Precision.HIGHEST
+    hp = _prec()
     return (jnp.matmul(re, jnp.asarray(ic), precision=hp,
                        preferred_element_type=jnp.float32)
             + jnp.matmul(im, jnp.asarray(isn), precision=hp,

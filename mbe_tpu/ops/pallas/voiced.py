@@ -8,16 +8,23 @@ same oscillator rotation recurrence the reference uses
 for the start phase and step (computed in XLA, cheap: [C,56]) and then 160
 emit-then-rotate steps of pure multiply-adds with everything VMEM-resident.
 
+The gains are folded into the oscillator amplitude (state starts at
+g*e^{i*phi}; rotation preserves amplitude), so each step is just the
+rotation + a sublane reduce — no per-sample gain multiply and two fewer
+input streams. Measured 2.36 -> 2.09 ms isolated at C=32768 vs the
+unfolded form. (Two measured negatives, do not re-try: a stride-8
+variant — 8 interleaved chains, depth 20 — was 2.7x SLOWER, and merging
+prev/cur into one [128, CB] tile also lost.)
+
 Layout: harmonics on sublanes (56 -> pad 64), channels on lanes (blocks of
-128). Outputs are the per-n harmonic sums for the prev/cur components
-([160, CB] each); the caller applies the synthesis windows (the window does
-not depend on l, so it factors out of the sum — same reordering the XLA
-path uses).
+128 — wider cb loses, measured 256/512/1024). Outputs are the per-n
+harmonic sums for the prev/cur components ([160, CB] each); the caller
+applies the synthesis windows (the window does not depend on l, so it
+factors out of the sum — same reordering the XLA path uses).
 """
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -25,12 +32,9 @@ CB = 128   # channels per grid step (lane dimension)
 LP = 64    # harmonics padded to sublane tile
 
 
-
-def _kernel(gp_ref, cp_ref, sp_ref, cdp_ref, sdp_ref,
-            gc_ref, cc_ref, sc_ref, cdc_ref, sdc_ref,
+def _kernel(cp_ref, sp_ref, cdp_ref, sdp_ref,
+            cc_ref, sc_ref, cdc_ref, sdc_ref,
             outp_ref, outc_ref):
-    gp = gp_ref[...]
-    gc = gc_ref[...]
     cdp = cdp_ref[...]
     sdp = sdp_ref[...]
     cdc = cdc_ref[...]
@@ -38,8 +42,9 @@ def _kernel(gp_ref, cp_ref, sp_ref, cdp_ref, sdp_ref,
 
     def body(n, carry):
         cp, sp, cc, sc = carry
-        outp_ref[pl.ds(n, 1), :] = jnp.sum(gp * cp, axis=0, keepdims=True)
-        outc_ref[pl.ds(n, 1), :] = jnp.sum(gc * cc, axis=0, keepdims=True)
+        # amplitudes are baked into the state: emit is just the reduce
+        outp_ref[pl.ds(n, 1), :] = jnp.sum(cp, axis=0, keepdims=True)
+        outc_ref[pl.ds(n, 1), :] = jnp.sum(cc, axis=0, keepdims=True)
         # emit-then-rotate, matching the reference oscillator order
         cp2 = cp * cdp - sp * sdp
         sp2 = sp * cdp + cp * sdp
@@ -53,13 +58,14 @@ def _kernel(gp_ref, cp_ref, sp_ref, cdp_ref, sdp_ref,
 
 
 def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
-                interpret=False):
+                interpret=False, cb=CB):
     """Per-sample harmonic sums for both voiced components.
 
-    Args (all [C, 56] f32; C a multiple of 128):
+    Args (all [C, 56] f32; C a multiple of `cb`):
       gain_prev/gain_cur: 2*Ml with all masks folded in (zero = inactive).
       phi_prev: prev_PHIl; phi_cur0: cur_PHIl - cw0*l*160 (start phase).
       step_prev/step_cur: w0*l phase increments.
+      cb: channels per grid block (128 is the measured optimum).
     Returns:
       (sum_prev [C, 160], sum_cur [C, 160]) with
       sum[c, n] = sum_l gain[c, l] * cos(phi[c, l] + n * step[c, l]).
@@ -67,27 +73,26 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
     c = gain_prev.shape[0]
 
     def prep(g, phi, step):
-        # transpose to [56, C], pad harmonics to 64 sublanes
+        # transpose to [56, C], pad harmonics to 64 sublanes, fold gains
         gT = jnp.pad(g.T, ((0, LP - 56), (0, 0)))
         phiT = jnp.pad(phi.T, ((0, LP - 56), (0, 0)))
         stepT = jnp.pad(step.T, ((0, LP - 56), (0, 0)))
-        return gT, jnp.cos(phiT), jnp.sin(phiT), jnp.cos(stepT), jnp.sin(stepT)
+        return (gT * jnp.cos(phiT), gT * jnp.sin(phiT),
+                jnp.cos(stepT), jnp.sin(stepT))
 
-    gp, cp, sp, cdp, sdp = prep(gain_prev, phi_prev, step_prev)
-    gc, cc, sc, cdc, sdc = prep(gain_cur, phi_cur0, step_cur)
+    a = prep(gain_prev, phi_prev, step_prev)
+    b = prep(gain_cur, phi_cur0, step_cur)
 
-    in_spec = pl.BlockSpec((LP, CB), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((160, CB), lambda i: (0, i),
+    in_spec = pl.BlockSpec((LP, cb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((160, cb), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     outp, outc = pl.pallas_call(
         _kernel,
         interpret=interpret,
-        grid=(c // CB,),
-        in_specs=[in_spec] * 10,
+        grid=(c // cb,),
+        in_specs=[in_spec] * 8,
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((160, c), jnp.float32),
                    jax.ShapeDtypeStruct((160, c), jnp.float32)),
-    )(gp, cp, sp, cdp, sdp, gc, cc, sc, cdc, sdc)
+    )(*a, *b)
     return outp.T, outc.T
-
-

@@ -58,3 +58,46 @@ def test_golay_roundtrip_with_injected_errors():
     np.testing.assert_array_equal(o1[:, 11:], clean[:, 11:])
     # data bits always recovered for <=3 total bit errors
     np.testing.assert_array_equal(o2[:, 11:], clean[:, 11:])
+
+
+def test_packed_hard_decoders_match_bitplane():
+    """golay2312_hard_packed / hamming1511_hard_packed (the lane-dense hard
+    frame path, models/imbe.py + models/ambe.py) agree with the bit-plane
+    decoders on random words."""
+    rng = np.random.default_rng(11)
+    b23 = rng.integers(0, 2, (256, 23)).astype(np.int32)
+    w23 = (b23 * (1 << np.arange(23))).sum(axis=1).astype(np.int32)
+    out_bits, errs_bits = jax.jit(ecc.golay2312_hard)(b23)
+    out_w, errs_w = jax.jit(ecc.golay2312_hard_packed)(w23)
+    np.testing.assert_array_equal(np.asarray(errs_bits), np.asarray(errs_w))
+    w_from_bits = (np.asarray(out_bits) * (1 << np.arange(23))).sum(axis=1)
+    np.testing.assert_array_equal(w_from_bits, np.asarray(out_w))
+
+    b15 = rng.integers(0, 2, (256, 15)).astype(np.int32)
+    w15 = (b15 * (1 << np.arange(15))).sum(axis=1).astype(np.int32)
+    for v7 in (False, True):
+        ob, eb = jax.jit(lambda b, v=v7: ecc.hamming1511_hard(b, v))(b15)
+        ow, ew = jax.jit(
+            lambda w, v=v7: ecc.hamming1511_hard_packed(w, v))(w15)
+        np.testing.assert_array_equal(np.asarray(eb), np.asarray(ew))
+        np.testing.assert_array_equal(
+            (np.asarray(ob) * (1 << np.arange(15))).sum(axis=1),
+            np.asarray(ow))
+
+
+def test_prng_keywords_match_bit_keystream():
+    """prng_keywords packs exactly the reversed keystream slices the
+    bit-plane demod XORs in (ambe_common.c:94-99)."""
+    from mbe_tpu.ops import demod
+    rng = np.random.default_rng(12)
+    seed = (16 * rng.integers(0, 4096, 64)).astype(np.int32)
+    widths = (23, 23, 23, 15, 15, 15)
+    kw = np.asarray(jax.jit(
+        lambda s: demod.prng_keywords(s, widths))(seed))
+    pr = np.asarray(jax.jit(lambda s: demod.prng_bits(s, sum(widths)))(seed))
+    k = 0
+    for r, w in enumerate(widths):
+        expect = (pr[:, k:k + w][:, ::-1]
+                  * (1 << np.arange(w))).sum(axis=1)
+        np.testing.assert_array_equal(kw[:, r], expect)
+        k += w

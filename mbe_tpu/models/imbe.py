@@ -215,9 +215,10 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     li = jnp.arange(57, dtype=jnp.int32)[None, :]
     tl_idx = jnp.clip(K[:, None] - 1 - (li - 1) // 3, 0, 11)
     bb1 = vals[:, :12]
-    vl_bits = jnp.sum(
-        jnp.where(tl_idx[:, :, None] == jnp.arange(12, dtype=jnp.int32)[None, None, :],
-                  bb1[:, None, :], 0.0), axis=-1).astype(jnp.int32)  # [C, 57]
+    vl_f = jnp.zeros((c, 57), jnp.float32)
+    for t in range(12):  # each band reads exactly one bb[1] bit: select
+        vl_f = jnp.where(tl_idx == t, bb1[:, t:t + 1], vl_f)
+    vl_bits = vl_f.astype(jnp.int32)  # [C, 57]
     band_mask = (li >= 1) & (li <= L[:, None])
     Vl = jnp.where(band_mask, vl_bits, cur.Vl)
 

@@ -6,9 +6,13 @@ import numpy as np
 
 
 def test_voiced_kernel_matches_closed_form():
-    """The oscillator-recurrence kernel (interpret mode) matches the
-    closed-form cos grids to recurrence-drift tolerance (~3e-6 relative,
-    the same error class as the reference's oscillator, mbelib.c:208-223)."""
+    """The Chebyshev-recurrence kernel (interpret mode) matches the
+    closed-form cos grids to recurrence-drift tolerance. The three-term
+    recurrence's response to a step-k rounding error is sin((n-k)s)/sin(s),
+    so worst-case drift over 160 samples is ~160*eps/sin(s) — order 1e-4
+    relative at the smallest phase steps, i.e. >=80 dB, versus the 60 dB
+    synthesis budget (the reference's own oscillator recurrence,
+    mbelib.c:208-223, carries the same error class)."""
     from mbe_tpu.ops.pallas import voiced as pv
 
     rng = np.random.default_rng(7)
@@ -27,8 +31,8 @@ def test_voiced_kernel_matches_closed_form():
     ref_c = np.sum(g2[:, :, None] * np.cos(p2[:, :, None] + s2[:, :, None] * n),
                    axis=1)
     scale = max(np.abs(ref_p).max(), np.abs(ref_c).max())
-    assert np.abs(np.asarray(op) - ref_p).max() / scale < 2e-5
-    assert np.abs(np.asarray(oc) - ref_c).max() / scale < 2e-5
+    assert np.abs(np.asarray(op) - ref_p).max() / scale < 2e-4
+    assert np.abs(np.asarray(oc) - ref_c).max() / scale < 2e-4
 
 
 def test_soft_ecc_kernel_matches_xla():

@@ -28,6 +28,14 @@ the prev/cur components ([160, CB] each); the caller applies the synthesis
 windows (the window does not depend on l, so it factors out of the sum —
 same reordering the XLA path uses).
 
+The interpolated path (JMBE #134-138, mbelib.c:953-968 — quadratic phase
+theta_n = phi + alpha*n + q*n^2 with a linear amplitude lerp, harmonics
+l<8 only) runs as a third in-kernel component on one [8, CB] sublane tile:
+a double rotor (the oscillator rotates by delta_n, the delta rotor by the
+constant 2q) plus one amplitude add per sample. Its XLA form ([C,7,160]
+cos grids) ablated at ~1 ms/step at C=32768; in-kernel it costs ~0.2 ms
+and the grids disappear (measured 1.11x end-to-end).
+
 Measured negatives (do not re-try): stride-8 interleaved oscillator chains
 (2.7x slower); merging prev/cur into one [128, CB] tile; explicit pairwise
 tree reduce for the emit sum (Mosaic already emits a tree for jnp.sum);
@@ -41,13 +49,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 CB = 128   # channels per grid step (lane dimension)
 LP = 64    # harmonics padded to sublane tile
+LI = 8     # interpolated harmonics (7) padded to one sublane tile
 
 
 def _kernel(y0p_ref, y1p_ref, c2p_ref,
             y0c_ref, y1c_ref, c2c_ref,
-            outp_ref, outc_ref):
+            a0_ref, da_ref, oc_ref, os_ref, dc_ref, ds_ref,
+            r2c_ref, r2s_ref,
+            outp_ref, outc_ref, outi_ref):
     c2p = c2p_ref[...]
     c2c = c2c_ref[...]
+    r2c = r2c_ref[...]
+    r2s = r2s_ref[...]
+    da = da_ref[...]
 
     def emit8(y0, y1, c2):
         rows = []
@@ -56,31 +70,56 @@ def _kernel(y0p_ref, y1p_ref, c2p_ref,
             y0, y1 = y1, c2 * y1 - y0
         return jnp.concatenate(rows, axis=0), y0, y1
 
+    def emit8i(carry):
+        # interpolated path (JMBE #134-138, mbelib.c:953-968): quadratic
+        # phase theta_n = phi + alpha*n + q*n^2 via a double rotor — the
+        # oscillator rotates by delta_n = alpha + q*(2n+1), and the delta
+        # rotor itself rotates by the constant 2q. Amplitude is the linear
+        # lerp a0 + n*da, one add per sample.
+        a, oc, osn, dc, dsn = carry
+        rows = []
+        for _ in range(8):
+            rows.append(jnp.sum(a * oc, axis=0, keepdims=True))
+            oc, osn = oc * dc - osn * dsn, osn * dc + oc * dsn
+            dc, dsn = dc * r2c - dsn * r2s, dsn * r2c + dc * r2s
+            a = a + da
+        return jnp.concatenate(rows, axis=0), (a, oc, osn, dc, dsn)
+
     def body(n, carry):
-        y0p, y1p, y0c, y1c = carry
+        y0p, y1p, y0c, y1c, ic = carry
         rp, y0p, y1p = emit8(y0p, y1p, c2p)
         rc, y0c, y1c = emit8(y0c, y1c, c2c)
+        ri, ic = emit8i(ic)
         outp_ref[pl.ds(n * 8, 8), :] = rp
         outc_ref[pl.ds(n * 8, 8), :] = rc
-        return y0p, y1p, y0c, y1c
+        outi_ref[pl.ds(n * 8, 8), :] = ri
+        return y0p, y1p, y0c, y1c, ic
 
     jax.lax.fori_loop(
         0, 20, body,
-        (y0p_ref[...], y1p_ref[...], y0c_ref[...], y1c_ref[...]))
+        (y0p_ref[...], y1p_ref[...], y0c_ref[...], y1c_ref[...],
+         (a0_ref[...], oc_ref[...], os_ref[...],
+          dc_ref[...], ds_ref[...])))
 
 
 def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
-                interpret=False, cb=CB):
-    """Per-sample harmonic sums for both voiced components.
+                interp_amp0, interp_damp, interp_phi0, interp_alpha,
+                interp_q, interpret=False, cb=CB):
+    """Per-sample harmonic sums for all three voiced components.
 
-    Args (all [C, 56] f32; C a multiple of `cb`):
+    Args (first six [C, 56] f32, interp_* [C, 7] f32; C a multiple of cb):
       gain_prev/gain_cur: 2*Ml with all masks folded in (zero = inactive).
       phi_prev: prev_PHIl; phi_cur0: cur_PHIl - cw0*l*160 (start phase).
       step_prev/step_cur: w0*l phase increments.
+      interp_amp0/interp_damp: start amplitude and per-sample increment of
+        the interpolated path's linear amplitude lerp (gate folded in).
+      interp_phi0/interp_alpha/interp_q: quadratic phase
+        theta_n = phi0 + alpha*n + q*n^2 (mbelib.c:953-968).
       cb: channels per grid block (128 is the measured optimum).
     Returns:
-      (sum_prev [C, 160], sum_cur [C, 160]) with
-      sum[c, n] = sum_l gain[c, l] * cos(phi[c, l] + n * step[c, l]).
+      (sum_prev, sum_cur, sum_interp) each [C, 160]:
+      sum[c, n] = sum_l gain[c, l] * cos(phi[c, l] + n * step[c, l]) for the
+      windowed components; sum_interp[c, n] = sum_l amp_n * cos(theta_n).
     """
     c = gain_prev.shape[0]
 
@@ -95,16 +134,32 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
     a = prep(gain_prev, phi_prev, step_prev)
     b = prep(gain_cur, phi_cur0, step_cur)
 
+    def prep7(x):
+        return jnp.pad(x.T, ((0, LI - 7), (0, 0)))
+
+    a0 = prep7(interp_amp0)
+    da = prep7(interp_damp)
+    phi0 = prep7(interp_phi0)
+    alpha = prep7(interp_alpha)
+    q = prep7(interp_q)
+    delta0 = alpha + q          # theta_{n+1} - theta_n at n=0
+    iv = (a0, da, jnp.cos(phi0), jnp.sin(phi0),
+          jnp.cos(delta0), jnp.sin(delta0),
+          jnp.cos(2.0 * q), jnp.sin(2.0 * q))
+
     in_spec = pl.BlockSpec((LP, cb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    in_spec7 = pl.BlockSpec((LI, cb), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((160, cb), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    outp, outc = pl.pallas_call(
+    outp, outc, outi = pl.pallas_call(
         _kernel,
         interpret=interpret,
         grid=(c // cb,),
-        in_specs=[in_spec] * 6,
-        out_specs=(out_spec, out_spec),
+        in_specs=[in_spec] * 6 + [in_spec7] * 8,
+        out_specs=(out_spec, out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((160, c), jnp.float32),
+                   jax.ShapeDtypeStruct((160, c), jnp.float32),
                    jax.ShapeDtypeStruct((160, c), jnp.float32)),
-    )(*a, *b)
-    return outp.T, outc.T
+    )(*a, *b, *iv)
+    return outp.T, outc.T, outi.T

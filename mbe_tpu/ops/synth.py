@@ -195,38 +195,50 @@ def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
                           2.0 * prev_Ml[:, 1:], 0.0)
     gain_cur = jnp.where(cur_v & active & ~use_interp,
                          2.0 * cur_Ml[:, 1:], 0.0)
+
+    # Interpolated-path coefficients (JMBE #134-138), [C, 7] lane math.
+    lf7 = jnp.asarray(_L_IDX_F[1:NI + 1])[None, :]
+    deltaphil2 = (cur_PHIl[:, 1:NI + 1] - prev_PHIl[:, 1:NI + 1]
+                  - ((prev_w0 + cur_w0)[:, None] * lf7
+                     * jnp.float32(FRAME)) / jnp.float32(2.0))
+    deltawl2 = (jnp.float32(1.0 / FRAME)
+                * (deltaphil2 - TWO_PI * jnp.floor(
+                    (deltaphil2 + jnp.float32(np.pi)) / TWO_PI)))
+    gi2 = jnp.where(use_interp7 & active[:, :NI], jnp.float32(2.0), 0.0)
+
     if _use_pallas_voiced(cur_w0.shape[0]):
         from .pallas import voiced as pallas_voiced
-        sum_prev, sum_cur = pallas_voiced.voiced_sums(
+        alpha = prev_w0[:, None] * lf7 + deltawl2
+        q = (cur_w0 - prev_w0)[:, None] * lf7 / jnp.float32(2 * FRAME)
+        amp0 = gi2 * prev_Ml[:, 1:NI + 1]
+        damp = gi2 * (cur_Ml[:, 1:NI + 1] - prev_Ml[:, 1:NI + 1]) \
+            * jnp.float32(1.0 / FRAME)
+        sum_prev, sum_cur, sum_interp = pallas_voiced.voiced_sums(
             gain_prev, prev_PHIl[:, 1:], (prev_w0[:, None] * _L_IDX_F[1:]),
             gain_cur,
             cur_PHIl[:, 1:] - (cur_w0[:, None] * _L_IDX_F[1:]) * jnp.float32(FRAME),
-            (cur_w0[:, None] * _L_IDX_F[1:]))
-    else:
-        sum_prev = jnp.sum(gain_prev[..., None] * jnp.cos(pphi + pw0l * n),
-                           axis=1)
-        sum_cur = jnp.sum(gain_cur[..., None]
-                          * jnp.cos(cphi + cw0l * (n - jnp.float32(FRAME))),
-                          axis=1)
+            (cur_w0[:, None] * _L_IDX_F[1:]),
+            amp0, damp, prev_PHIl[:, 1:NI + 1], alpha, q)
+        return (w_prev[None, :] * sum_prev + w_cur[None, :] * sum_cur
+                + sum_interp)
+
+    sum_prev = jnp.sum(gain_prev[..., None] * jnp.cos(pphi + pw0l * n),
+                       axis=1)
+    sum_cur = jnp.sum(gain_cur[..., None]
+                      * jnp.cos(cphi + cw0l * (n - jnp.float32(FRAME))),
+                      axis=1)
     out = w_prev[None, :] * sum_prev + w_cur[None, :] * sum_cur
 
     # Interpolated path over the 7 eligible harmonics only.
     li7 = li[:, :NI]
-    lN = li7 * jnp.float32(FRAME)
-    cphi7 = cphi[:, :NI]
     pphi7 = pphi[:, :NI]
     pw0l7 = pw0l[:, :NI]
-    deltaphil = (cphi7[..., 0] - pphi7[..., 0]
-                 - ((pw0 + cw0) * lN)[..., 0] / jnp.float32(2.0))
-    deltawl = (jnp.float32(1.0 / FRAME)
-               * (deltaphil - TWO_PI * jnp.floor((deltaphil + jnp.float32(np.pi)) / TWO_PI)))
-    theta_ln = (pphi7 + (pw0l7 + deltawl[..., None]) * n
+    theta_ln = (pphi7 + (pw0l7 + deltawl2[..., None]) * n
                 + (cw0 - pw0) * li7 * n * n / jnp.float32(2 * FRAME))
     aln = (prev_Ml[:, 1:NI + 1, None]
            + (n / jnp.float32(FRAME)) * (cur_Ml[:, 1:NI + 1, None]
                                          - prev_Ml[:, 1:NI + 1, None]))
-    gi = jnp.where(use_interp7 & active[:, :NI], 2.0, 0.0)[..., None]
-    out = out + jnp.sum(gi * aln * jnp.cos(theta_ln), axis=1)
+    out = out + jnp.sum(gi2[..., None] * aln * jnp.cos(theta_ln), axis=1)
     return out  # [C, 160]
 
 

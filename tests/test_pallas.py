@@ -23,16 +23,27 @@ def test_voiced_kernel_matches_closed_form():
     g2 = rng.uniform(0, 5, (c, 56)).astype(np.float32)
     p2 = rng.uniform(0, 6, (c, 56)).astype(np.float32)
     s2 = rng.uniform(0, 3, (c, 56)).astype(np.float32)
-    op, oc = pv.voiced_sums(*(jnp.asarray(x) for x in (g1, p1, s1, g2, p2, s2)),
-                            interpret=True)
+    a0 = rng.uniform(0, 4, (c, 7)).astype(np.float32)
+    da = rng.uniform(-0.02, 0.02, (c, 7)).astype(np.float32)
+    ip = rng.uniform(0, 6, (c, 7)).astype(np.float32)
+    al = rng.uniform(0, 2, (c, 7)).astype(np.float32)
+    q = rng.uniform(-2e-3, 2e-3, (c, 7)).astype(np.float32)
+    op, oc, oi = pv.voiced_sums(
+        *(jnp.asarray(x) for x in (g1, p1, s1, g2, p2, s2, a0, da, ip, al, q)),
+        interpret=True)
     n = np.arange(160)[None, None, :]
     ref_p = np.sum(g1[:, :, None] * np.cos(p1[:, :, None] + s1[:, :, None] * n),
                    axis=1)
     ref_c = np.sum(g2[:, :, None] * np.cos(p2[:, :, None] + s2[:, :, None] * n),
                    axis=1)
-    scale = max(np.abs(ref_p).max(), np.abs(ref_c).max())
+    # quadratic-phase interpolated component: amp lerp * cos(theta_n)
+    ref_i = np.sum((a0[:, :, None] + da[:, :, None] * n)
+                   * np.cos(ip[:, :, None] + al[:, :, None] * n
+                            + q[:, :, None] * n * n), axis=1)
+    scale = max(np.abs(ref_p).max(), np.abs(ref_c).max(), np.abs(ref_i).max())
     assert np.abs(np.asarray(op) - ref_p).max() / scale < 2e-4
     assert np.abs(np.asarray(oc) - ref_c).max() / scale < 2e-4
+    assert np.abs(np.asarray(oi) - ref_i).max() / scale < 2e-4
 
 
 def test_soft_ecc_kernel_matches_xla():

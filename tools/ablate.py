@@ -58,42 +58,52 @@ def measure(fn, channels, steps, reps=3):
 
 
 # --- stage stand-ins (cheap, shape/dtype-preserving) -------------------------
+# Every stand-in must be INPUT-DEPENDENT: a jnp.zeros stub is a literal
+# constant that XLA folds into downstream multiplies and XORs, silently
+# deleting parts of *other* stages (e.g. a zero noise buffer removes the
+# unvoiced windowing too) and inflating the stubbed stage's apparent share.
+
+
+def _bcast(x, shape):
+    """Cheap non-foldable filler: broadcast of an input column."""
+    return jnp.broadcast_to(x.reshape(x.shape[0], -1)[:, :1], shape)
+
 
 ABLATIONS = {
     "golay_hard": (ecc, "golay2312_hard",
                    lambda bits: (bits.astype(jnp.int32),
-                                 jnp.zeros(bits.shape[:-1], jnp.int32))),
+                                 bits[..., 0].astype(jnp.int32))),
     "hamming_hard": (ecc, "hamming1511_hard",
                      lambda bits, variant7100=False: (
                          bits.astype(jnp.int32),
-                         jnp.zeros(bits.shape[:-1], jnp.int32))),
+                         bits[..., 0].astype(jnp.int32))),
     "demod_prng": (demod, "prng_bits",
-                   lambda seed, count: jnp.zeros(
-                       (seed.shape[0], count), jnp.int32)),
+                   lambda seed, count: _bcast(
+                       seed & 1, (seed.shape[0], count)).astype(jnp.int32)),
     "param_decode": (imbe, "decode_imbe4400_parms",
-                     lambda d, cur, prev: (cur, prev,
-                                           jnp.zeros(d.shape[0], jnp.int32))),
+                     lambda d, cur, prev: (cur, prev, d[:, 0])),
     "spectral_update": (spectral, "spectral_update",
                         lambda cur_L, prev_L, prev_Ml, prev_log2Ml, Tl, *,
                         weight, cur_Ml, cur_log2Ml: (
-                            cur_Ml, cur_log2Ml, prev_Ml, prev_log2Ml, cur_L)),
+                            cur_Ml + Tl, cur_log2Ml, prev_Ml, prev_log2Ml,
+                            cur_L)),
     "enhance": (enhance, "spectral_amp_enhance",
                 lambda w0, L, Ml: (Ml, jnp.sum(Ml * Ml, axis=-1))),
     "smoothing": (enhance, "adaptive_smoothing",
                   lambda Ml, Vl, L, er, et, e4, le, at, rm0: (Ml, Vl, le, at)),
     "voiced": (synth, "render_voiced",
                lambda cw0, cMl, cVl, cPhi, pw0, pMl, pVl, pPhi, maxl:
-               jnp.zeros((cw0.shape[0], 160), jnp.float32)),
+               _bcast(cMl, (cw0.shape[0], 160))),
     "unvoiced_fft": (synth, "unvoiced_fft",
                      lambda w0, L, Ml, Vl, puw, nb: (
-                         jnp.zeros((w0.shape[0], 160), jnp.float32), puw)),
+                         _bcast(Ml, (w0.shape[0], 160)), puw)),
     "lcg_noise": (noise, "generate_noise_with_overlap",
                   lambda seed, overlap, prime: (
-                      jnp.zeros((seed.shape[0], 256), jnp.float32),
-                      seed, overlap)),
+                      _bcast(overlap, (seed.shape[0], 256)), seed, overlap)),
     "comfort": (noise, "comfort_noise",
                 lambda limbs, n=160: (
-                    jnp.zeros((limbs.shape[0], n), jnp.float32), limbs)),
+                    _bcast(limbs.astype(jnp.float32),
+                           (limbs.shape[0], n)), limbs)),
     "phases": (synth, "update_phases",
                lambda w0, L, psi, phi, pw0, ppsi, nb, nuv: (psi, phi, ppsi)),
 }

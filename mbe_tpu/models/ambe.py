@@ -111,23 +111,42 @@ def _decode_ambe3600_frame_soft(f, soft_rel):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=2)
-def _tl_matrix(plus: bool):
-    """Dense Tl matrix [57, 57, 24]: Tl[l] = M[L][l] . vec(Cik[4][6])
-    (ambe3600x2450.c:365-387 / ambe3600x2400.c:403-425, with the k>6 zero
-    rule folded in)."""
+def _tl_factored(plus: bool):
+    """Factored per-block IDCT (ambe3600x2450.c:365-387 /
+    ambe3600x2400.c:403-425, with the k>6 zero rule folded in).
+
+    Replaces the dense [57,57,24] Tl matrix whose one-hot-selected
+    [C,57,24] product tensor was 179 MB of HBM per 32k-channel step: all
+    17 possible block sizes are evaluated at once with one tiny
+    [C*4,6]@[6,153] matmul (the idct table does not depend on the block
+    index), then the actual size AmbeLmprbl[L,i] and the slot->band map
+    are applied as fused selects. Same products, same accumulation order
+    (the dropped terms are exact zeros) -> bitwise identical Tl.
+
+      Midct[k-1, off(ji)+(j-1)] = ak * idct[ji][j][k]   (k <= min(ji,6))
+      off(ji) = ji*(ji-1)/2  (compact column layout, ji = 1..17)
+      jsel[L, i] = AmbeLmprbl[L, i];  scl[L, l] = i(l)*17 + (j(l)-1)
+    """
     lmprbl = np.asarray(T.AmbePlusLmprbl if plus else T.AmbeLmprbl)  # [57,4]
     idct = np.asarray(T.ambe_idct_cos)  # [18,18,18]
-    M = np.zeros((57, 57, 24), np.float32)
+    off = np.zeros(18, np.int32)
+    for ji in range(1, 18):
+        off[ji] = off[ji - 1] + (ji - 1)
+    ncol = int(off[17] + 17)  # 153
+    M = np.zeros((6, ncol), np.float32)
+    for ji in range(1, 18):
+        for j in range(1, ji + 1):
+            for k in range(1, min(ji, 6) + 1):
+                ak = 1.0 if k == 1 else 2.0
+                M[k - 1, off[ji] + (j - 1)] = ak * idct[ji, j, k]
+    scl = np.full((57, 57), -1.0, np.float32)
     for L in range(57):
         l = 1
         for i in range(4):
-            ji = lmprbl[L, i]
-            for j in range(1, ji + 1):
-                for k in range(1, min(ji, 6) + 1):
-                    ak = 1.0 if k == 1 else 2.0
-                    M[L, l, i * 6 + (k - 1)] = ak * idct[ji, j, k]
+            for j in range(1, lmprbl[L, i] + 1):
+                scl[L, l] = i * 17 + (j - 1)
                 l += 1
-    return M
+    return M, off, lmprbl.astype(np.float32), scl
 
 
 @lru_cache(maxsize=2)
@@ -181,10 +200,23 @@ def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
     hoc = jnp.stack([hoc5, hoc6, hoc7, hoc8], axis=1)  # [C, 4, 4] (k=3..6)
 
     cik = jnp.concatenate([c1[..., None], c2[..., None], hoc], axis=-1)  # [C,4,6]
-    cik = cik.reshape(cik.shape[0], 24)
-    TlM = _onehot_rows(jnp.clip(L, 0, 56), _tl_matrix(plus))  # [C, 57, 24]
-    return jnp.einsum("clk,ck->cl", TlM, cik, precision=hp,
-                      preferred_element_type=jnp.float32)
+    c = cik.shape[0]
+    M, off, jsel_tab, scl_tab = _tl_factored(plus)
+    Ls = jnp.clip(L, 0, 56)
+    U = jnp.matmul(cik.reshape(c * 4, 6), jnp.asarray(M), precision=hp,
+                   preferred_element_type=jnp.float32).reshape(c, 4, -1)
+    jsel = _onehot_rows(Ls, jsel_tab)  # [C, 4] actual block sizes
+    usel = jnp.zeros((c, 4, 17), jnp.float32)
+    for ji in range(1, 18):
+        sl = jnp.pad(U[:, :, int(off[ji]):int(off[ji]) + ji],
+                     ((0, 0), (0, 0), (0, 17 - ji)))
+        usel = usel + jnp.where(jsel[:, :, None] == jnp.float32(ji), sl, 0.0)
+    slots = usel.reshape(c, 68)
+    sclsel = _onehot_rows(Ls, scl_tab)  # [C, 57]
+    Tl = jnp.zeros((c, 57), jnp.float32)
+    for s in range(68):  # each band reads exactly one slot: select chain
+        Tl = jnp.where(sclsel == jnp.float32(s), slots[:, s:s + 1], Tl)
+    return Tl
 
 
 # ---------------------------------------------------------------------------

@@ -218,7 +218,10 @@ def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
             gain_cur,
             cur_PHIl[:, 1:] - (cur_w0[:, None] * _L_IDX_F[1:]) * jnp.float32(FRAME),
             (cur_w0[:, None] * _L_IDX_F[1:]),
-            amp0, damp, prev_PHIl[:, 1:NI + 1], alpha, q)
+            amp0, damp, prev_PHIl[:, 1:NI + 1], alpha, q,
+            # MBE_TPU_PALLAS_VOICED=1 off-TPU runs interpret mode so CI can
+            # exercise the full kernel wiring (gains/phases/interp coeffs)
+            interpret=jax.default_backend() != "tpu")
         return (w_prev[None, :] * sum_prev + w_cur[None, :] * sum_cur
                 + sum_interp)
 

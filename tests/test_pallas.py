@@ -86,3 +86,37 @@ def test_soft_ecc_kernel_matches_xla():
         np.testing.assert_array_equal(np.asarray(out_ref),
                                       cb.astype(np.int32)[best])
         np.testing.assert_array_equal(np.asarray(diffs_ref), bd)
+
+
+def test_render_voiced_pallas_wiring_matches_xla(monkeypatch):
+    """The full render_voiced Pallas branch (gain masking, start-phase
+    shift, interp amp/alpha/q coefficient wiring) matches the XLA path in
+    interpret mode — guards the wiring, not just the kernel (the kernel
+    alone is covered above). Includes lanes where the interpolation
+    eligibility (l<8, both voiced, |dw0| < 0.1*w0) is active."""
+    from mbe_tpu.ops import synth
+
+    rng = np.random.default_rng(11)
+    c = 128
+    cw0 = jnp.asarray((0.05 + rng.random(c) * 0.25).astype(np.float32))
+    # half the lanes pitch-stable (interp-eligible), half not
+    jitter = np.where(rng.random(c) < 0.5, 1.01, 1.5).astype(np.float32)
+    pw0 = cw0 * jnp.asarray(jitter)
+    cMl = jnp.asarray(rng.random((c, 57)).astype(np.float32) * 2)
+    pMl = jnp.asarray(rng.random((c, 57)).astype(np.float32) * 2)
+    cVl = jnp.asarray((rng.random((c, 57)) < 0.7).astype(np.int32))
+    pVl = jnp.asarray((rng.random((c, 57)) < 0.7).astype(np.int32))
+    cPhi = jnp.asarray((rng.random((c, 57)) * 6.28).astype(np.float32))
+    pPhi = jnp.asarray((rng.random((c, 57)) * 6.28).astype(np.float32))
+    maxl = jnp.asarray(rng.integers(9, 57, c, dtype=np.int32))
+    args = (cw0, cMl, cVl, cPhi, pw0, pMl, pVl, pPhi, maxl)
+
+    monkeypatch.setenv("MBE_TPU_PALLAS_VOICED", "0")
+    ref = np.asarray(synth.render_voiced(*args))
+    monkeypatch.setenv("MBE_TPU_PALLAS_VOICED", "1")
+    out = np.asarray(synth.render_voiced(*args))
+
+    scale = np.abs(ref).max()
+    # 5e-4 relative = 66 dB: recurrence drift + the amp-lerp reassociation
+    # (a0 + n*da vs a0 + (n/160)*diff), both well inside the 60 dB budget
+    assert np.abs(out - ref).max() / scale < 5e-4

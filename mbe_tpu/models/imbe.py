@@ -417,37 +417,52 @@ def _conv7100_tables():
 
 
 @lru_cache(maxsize=1)
-def _conv7100_perm_mats():
-    """The 12 K-variant permutations as one-hot matrices P[k-1,j,i] = 1 iff
-    out[j] = in[i], so out = P @ in runs on the MXU instead of a gather."""
+def _conv7100_shift_tables():
+    """The 12 K-variant permutations as per-output-bit (word, shift) pairs
+    over a 3x-int32 packed representation: out[j] = in[perm[K][j]] becomes
+    `(word[sw[K,j]] >> sb[K,j]) & 1` — per-lane variable shifts are native
+    VPU ops, so the whole convert is ~8 elementwise ops per output bit."""
     perms = _conv7100_tables()
-    P = np.zeros((12, 88, 88), np.float32)
+    sw = np.zeros((12, 88), np.float32)   # source word index (0..2)
+    sb = np.zeros((12, 88), np.int32)     # source bit-in-word (0..31)
     for K in range(1, 13):
-        P[K - 1, np.arange(88), perms[K]] = 1.0
-    return P
+        sw[K - 1] = perms[K] // 32
+        sb[K - 1] = perms[K] % 32
+    return sw, sb.astype(np.float32)
 
 
 def convert_7100_to_7200(imbe_d):
-    """Batched mbe_convertImbe7100to7200 (imbe7100x4400.c:380-437)."""
+    """Batched mbe_convertImbe7100to7200 (imbe7100x4400.c:380-437).
+
+    Per-channel gathers through perm[K] are ~10x slower on TPU than lane
+    math, and the earlier all-12-permutations one-hot einsum materialized
+    a [12, C, 88] product tensor (138 MB at C=32768). Instead the 88 bits
+    pack into three int32 words per lane and each output bit is a 3-way
+    word select + per-lane variable shift, with the (word, shift) layout
+    tables selected by a tiny one-hot matmul over the 12 K variants.
+    Bit-exact (pure integer ops)."""
     d = imbe_d.astype(jnp.int32)
     b0 = bit_ops.pack_msb_first(d, np.array([1, 2, 3, 4, 5, 6, 86, 87], np.int32))
     b0s = jnp.clip(b0, 0, 207)
     K = jnp.take(jnp.asarray(T.imbe_K_by_b0), b0s, axis=0)
-    # Per-channel gather through perm[K] is ~10x slower on TPU than MXU
-    # work; there are only 12 permutation variants, so apply all 12 as
-    # one-hot permutation matmuls and select with a one-hot over K.
-    # Exact: d, P, kh all in {0,1}, f32 HIGHEST keeps integers <2^24 exact.
-    P = jnp.asarray(_conv7100_perm_mats())  # [12, 88, 88] f32
+
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    w0 = jnp.sum(d[:, 0:32] << shifts, axis=-1)
+    w1 = jnp.sum(d[:, 32:64] << shifts, axis=-1)
+    w2 = jnp.sum(d[:, 64:88] << shifts[:24], axis=-1)
+
+    sw_t, sb_t = _conv7100_shift_tables()
     kh = (jnp.clip(K, 1, 12)[:, None] ==
           jnp.arange(1, 13, dtype=jnp.int32)).astype(jnp.float32)  # [C,12]
-    df = d.astype(jnp.float32)
-    allperm = jnp.einsum('ci,kji->kcj', df, P,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)  # [12,C,88]
-    out = jnp.einsum('ck,kcj->cj', kh, allperm,
-                     precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)
-    return out.astype(jnp.int32)
+    hp = jax.lax.Precision.HIGHEST
+    sw = jnp.matmul(kh, jnp.asarray(sw_t), precision=hp,
+                    preferred_element_type=jnp.float32)  # [C, 88]
+    sb = jnp.matmul(kh, jnp.asarray(sb_t), precision=hp,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    word = jnp.where(sw == 0.0, w0[:, None],
+                     jnp.where(sw == 1.0, w1[:, None], w2[:, None]))
+    return (word >> sb) & 1
 
 
 def decode_imbe7100_frame(frame, soft_rel=None):

@@ -333,20 +333,37 @@ def render_tone(tone_id, amplitude_id, swn, tone_phase):
     step2 = jnp.where(dual, step2_t, jnp.uint32(0))
     gain = (jnp.maximum(amplitude_id, 0).astype(jnp.float32) / jnp.float32(127.0)) * SOFT_CLIP
 
-    nn = jnp.arange(1, FRAME + 1, dtype=jnp.uint32)[None, :]
-    ph1 = swn[:, None] + step1[:, None] * nn        # uint32 wrap == mod 2^32
-    ph2 = tone_phase[:, None] + step2[:, None] * nn
-
+    # Angle-addition factorization n = 16a + b: the naive form evaluates a
+    # [C,160] uint32 phase grid plus a [C,160] sin per oscillator (~1.5 ms
+    # at C=32768); instead take 10 anchor phases per oscillator with EXACT
+    # wrapped-uint32 arithmetic (the same mod-2^32 accumulator as the
+    # reference, mbelib.c:707-736), 16 small offsets b*step*rad (< 95 rad,
+    # so f32-accurate), and combine with sin(x+y) = sin x cos y + cos x
+    # sin y — 104 transcendentals/channel instead of 320, no grids.
     rad = jnp.float32(2.0 * np.pi / 4294967296.0)
-    s1 = jnp.sin(ph1.astype(jnp.float32) * rad - jnp.float32(np.pi / 2.0))
-    s2 = jnp.sin(ph2.astype(jnp.float32) * rad - jnp.float32(np.pi / 2.0))
+    anchors = (jnp.arange(10, dtype=jnp.uint32) * 16 + 1)[None, :]  # nn @ b=0
+    boff = jnp.arange(16, dtype=jnp.float32)[None, :]
+
+    def osc(phase0, step):
+        pha = phase0[:, None] + step[:, None] * anchors   # [C,10] exact u32
+        tha = pha.astype(jnp.float32) * rad - jnp.float32(np.pi / 2.0)
+        sa, ca = jnp.sin(tha), jnp.cos(tha)               # [C, 10]
+        bs = step.astype(jnp.float32)[:, None] * rad * boff  # [C, 16]
+        cb, sb = jnp.cos(bs), jnp.sin(bs)
+        s = sa[:, :, None] * cb[:, None, :] + ca[:, :, None] * sb[:, None, :]
+        return s.reshape(step.shape[0], FRAME)            # [C, 160]
+
+    s1 = osc(swn, step1)
+    s2 = osc(tone_phase, step2)
     samples = jnp.where(dual[:, None],
                         0.5 * gain[:, None] * s1 + 0.5 * gain[:, None] * s2,
                         gain[:, None] * s1)
     samples = jnp.where(active[:, None], samples, 0.0)
 
-    new_swn = jnp.where(active, ph1[:, -1], swn)
-    new_tp = jnp.where(active & dual, ph2[:, -1], tone_phase)
+    # exact uint32 phase-accumulator state update (no [C,160] grid needed)
+    n160 = jnp.uint32(FRAME)
+    new_swn = jnp.where(active, swn + step1 * n160, swn)
+    new_tp = jnp.where(active & dual, tone_phase + step2 * n160, tone_phase)
     return samples, new_swn, new_tp
 
 

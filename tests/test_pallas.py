@@ -120,3 +120,55 @@ def test_render_voiced_pallas_wiring_matches_xla(monkeypatch):
     # 5e-4 relative = 66 dB: recurrence drift + the amp-lerp reassociation
     # (a0 + n*da vs a0 + (n/160)*diff), both well inside the 60 dB budget
     assert np.abs(out - ref).max() / scale < 5e-4
+
+
+def test_render_tone_angle_addition_matches_grid():
+    """render_tone's angle-addition factorization (10 uint32-exact anchor
+    phases x 16 small offsets) matches the naive per-sample wrapped-phase
+    evaluation (mbelib.c:707-736) for single + dual tones across random
+    states; the uint32 phase-accumulator states must be bit-identical."""
+    from mbe_tpu.ops import synth
+    from mbe_tpu.tables import T
+
+    synth._lazy_tables()
+    rng = np.random.default_rng(3)
+    c = 128
+    # mix of valid single tones (5..122), dual (128..163), invalid ids
+    tid = rng.choice(
+        np.r_[np.arange(5, 123), np.arange(128, 164), [0, 1, 255]],
+        size=c).astype(np.int32)
+    ad = rng.integers(0, 128, c, dtype=np.int32)
+    swn = rng.integers(0, 2**31, c, dtype=np.int64).astype(np.uint32)
+    tp = rng.integers(0, 2**31, c, dtype=np.int64).astype(np.uint32)
+
+    s_out, swn_out, tp_out = synth.render_tone(
+        jnp.asarray(tid), jnp.asarray(ad), jnp.asarray(swn), jnp.asarray(tp))
+
+    # numpy oracle: naive wrapped-phase grids
+    steps = np.asarray(synth._TONE_STEPS)
+    freqs = np.asarray(T.tone_freqs)
+    valid = np.asarray(T.tone_valid)[tid] != 0
+    f1, f2 = freqs[tid, 0], freqs[tid, 1]
+    st1, st2 = steps[tid, 0], steps[tid, 1]
+    active = valid & (f1 > 0)
+    dual = (f2 > 0) & (np.abs(f2 - f1) > 1e-6)
+    st2 = np.where(dual, st2, 0).astype(np.uint32)
+    gain = (np.maximum(ad, 0) / np.float32(127.0)) * np.float32(
+        (32767.0 * 0.95) / 7.0)
+    nn = np.arange(1, 161, dtype=np.uint32)[None, :]
+    rad = np.float32(2 * np.pi / 2**32)
+    ph1 = swn[:, None] + st1[:, None] * nn
+    ph2 = tp[:, None] + st2[:, None] * nn
+    s1 = np.sin(ph1.astype(np.float32) * rad - np.float32(np.pi / 2))
+    s2 = np.sin(ph2.astype(np.float32) * rad - np.float32(np.pi / 2))
+    ref = np.where(dual[:, None],
+                   0.5 * gain[:, None] * (s1 + s2), gain[:, None] * s1)
+    ref = np.where(active[:, None], ref, 0.0)
+
+    np.testing.assert_array_equal(
+        np.asarray(swn_out), np.where(active, swn + st1 * np.uint32(160), swn))
+    np.testing.assert_array_equal(
+        np.asarray(tp_out),
+        np.where(active & dual, tp + st2 * np.uint32(160), tp))
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(np.asarray(s_out) - ref).max() / scale < 5e-4

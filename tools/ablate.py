@@ -70,16 +70,20 @@ def _bcast(x, shape):
 
 
 ABLATIONS = {
-    "golay_hard": (ecc, "golay2312_hard",
-                   lambda bits: (bits.astype(jnp.int32),
-                                 bits[..., 0].astype(jnp.int32))),
-    "hamming_hard": (ecc, "hamming1511_hard",
-                     lambda bits, variant7100=False: (
-                         bits.astype(jnp.int32),
-                         bits[..., 0].astype(jnp.int32))),
-    "demod_prng": (demod, "prng_bits",
-                   lambda seed, count: _bcast(
-                       seed & 1, (seed.shape[0], count)).astype(jnp.int32)),
+    # NOTE: the hard frame paths call the *_packed variants + prng_keywords
+    # (the bit-plane wrappers below them are the soft/API path) — stubbing
+    # only the wrappers measures nothing on the hard path.
+    "golay_hard": (ecc, "golay2312_hard_packed",
+                   lambda word: (word.astype(jnp.int32),
+                                 (word & 1).astype(jnp.int32))),
+    "hamming_hard": (ecc, "hamming1511_hard_packed",
+                     lambda block, variant7100=False: (
+                         block.astype(jnp.int32),
+                         (block & 1).astype(jnp.int32))),
+    "demod_prng": (demod, "prng_keywords",
+                   lambda seed, widths: _bcast(
+                       seed & 1, (seed.shape[0],
+                                  len(widths))).astype(jnp.int32)),
     "param_decode": (imbe, "decode_imbe4400_parms",
                      lambda d, cur, prev: (cur, prev, d[:, 0])),
     "spectral_update": (spectral, "spectral_update",

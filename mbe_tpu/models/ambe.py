@@ -262,10 +262,15 @@ def decode_ambe2450_parms(ambe_d, cur: Parms, prev: Parms, total_errors):
     b0v = jnp.clip(b0, 0, 119)
     sil_f0 = jnp.float32(float(T.ambe2450_silence_f0_w0[0]))
     sil_w0 = jnp.float32(float(T.ambe2450_silence_f0_w0[1]))
-    f0 = jnp.where(sil, sil_f0, jnp.take(jnp.asarray(T.AmbeW0table), b0v))
-    w0 = jnp.where(sil, sil_w0, jnp.take(jnp.asarray(T.ambe2450_w0_by_b0), b0v))
+    # b0-indexed tables via fused compare-reduce (bits.lut1d; dynamic
+    # gathers cost ~0.25 ms per [C]-shaped take at C=32768)
+    f0 = jnp.where(sil, sil_f0,
+                   bit_ops.lut1d(b0v, np.asarray(T.AmbeW0table, np.float32)))
+    w0 = jnp.where(sil, sil_w0,
+                   bit_ops.lut1d(b0v, np.asarray(T.ambe2450_w0_by_b0,
+                                                 np.float32)))
     L = jnp.where(sil, jnp.where(b0 == 124, 15, 14),
-                  jnp.take(jnp.asarray(T.AmbeLtable), b0v).astype(jnp.int32))
+                  bit_ops.lut1d(b0v, np.asarray(T.AmbeLtable, np.int32)))
 
     unvc = jnp.float32(0.2046) / jnp.sqrt(w0)
 
@@ -287,7 +292,8 @@ def decode_ambe2450_parms(ambe_d, cur: Parms, prev: Parms, total_errors):
     # gain (ambe3600x2450.c:598-607)
     b2 = ((d[:, 8] << 4) | (d[:, 9] << 3) | (d[:, 10] << 2) | (d[:, 11] << 1)
           | d[:, 36])
-    gamma = jnp.take(jnp.asarray(T.AmbeDg), b2) + jnp.float32(0.5) * prev.gamma
+    gamma = (bit_ops.lut1d(b2, np.asarray(T.AmbeDg, np.float32))
+             + jnp.float32(0.5) * prev.gamma)
 
     # PRBA (ambe3600x2450.c:221-273)
     b3 = ((d[:, 12] << 8) | (d[:, 13] << 7) | (d[:, 14] << 6) | (d[:, 15] << 5)
@@ -353,11 +359,12 @@ def decode_ambe2400_parms(ambe_d, cur: Parms, prev: Parms):
     voice = ~tone_b0
 
     b0v = jnp.clip(b0, 0, 125)
-    f0 = jnp.take(jnp.asarray(T.ambe2400_f0_by_b0), b0v)
+    f0 = bit_ops.lut1d(b0v, np.asarray(T.ambe2400_f0_by_b0, np.float32))
     w0 = jnp.where(silence, jnp.float32(float(T.ambe2400_silence_w0[0])),
-                   jnp.take(jnp.asarray(T.ambe2400_w0_by_b0), b0v))
+                   bit_ops.lut1d(b0v, np.asarray(T.ambe2400_w0_by_b0,
+                                                 np.float32)))
     L = jnp.where(silence, 14,
-                  jnp.take(jnp.asarray(T.AmbePlusLtable), b0v).astype(jnp.int32))
+                  bit_ops.lut1d(b0v, np.asarray(T.AmbePlusLtable, np.int32)))
     unvc = jnp.float32(0.2046) / jnp.sqrt(w0)
 
     # V/UV (ambe3600x2400.c:244-263); silence zeroes Vl[1..14]
@@ -375,7 +382,8 @@ def decode_ambe2400_parms(ambe_d, cur: Parms, prev: Parms):
 
     b2 = ((d[:, 6] << 5) | (d[:, 7] << 4) | (d[:, 8] << 3) | (d[:, 9] << 2)
           | (d[:, 42] << 1) | d[:, 43])
-    gamma = jnp.take(jnp.asarray(T.AmbePlusDg), b2) + jnp.float32(0.5) * prev.gamma
+    gamma = (bit_ops.lut1d(b2, np.asarray(T.AmbePlusDg, np.float32))
+             + jnp.float32(0.5) * prev.gamma)
 
     b3 = ((d[:, 10] << 8) | (d[:, 11] << 7) | (d[:, 12] << 6) | (d[:, 13] << 5)
           | (d[:, 14] << 4) | (d[:, 15] << 3) | (d[:, 16] << 2)
@@ -490,7 +498,8 @@ def process_ambe2450(ambe_d, total_errors, c0_errors, c0_valid,
     voice = bad == 0
     voice_ok = voice & (cur.repeatCount < 4)
     voice_mute = voice & ~voice_ok
-    tone_valid = jnp.take(jnp.asarray(T.tone_valid), tone_id_2450(ambe_d)) != 0
+    tone_valid = bit_ops.lut1d(tone_id_2450(ambe_d),
+                               np.asarray(T.tone_valid, np.int32)) != 0
     tone_play = is_tone & tone_valid
     tone_replay = is_tone & ~tone_valid & (prev.repeatCount < 4)
     tone_cn = is_tone & ~tone_valid & ~tone_replay

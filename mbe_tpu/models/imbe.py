@@ -183,9 +183,11 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     bad = (b0 > 207).astype(jnp.int32)
     b0s = jnp.clip(b0, 0, 207)
 
-    w0 = jnp.take(jnp.asarray(T.imbe_w0_by_b0), b0s, axis=0)
-    L = jnp.take(jnp.asarray(T.imbe_L_by_b0), b0s, axis=0)
-    K = jnp.take(jnp.asarray(T.imbe_K_by_b0), b0s, axis=0)
+    # b0-indexed tables via fused compare-reduce (bits.lut1d): dynamic
+    # gathers cost ~0.25 ms per [C]-shaped take at C=32768
+    w0 = bit_ops.lut1d(b0s, np.asarray(T.imbe_w0_by_b0, np.float32))
+    L = bit_ops.lut1d(b0s, np.asarray(T.imbe_L_by_b0, np.int32))
+    K = bit_ops.lut1d(b0s, np.asarray(T.imbe_K_by_b0, np.int32))
     L9 = L - 9
     onehot = jax.nn.one_hot(L9, 48, dtype=jnp.float32)  # [C, 48]
 
@@ -224,7 +226,7 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
 
     # --- gains (imbe7200x4400.c:190-209) ----------------------------------
     b2 = vals[:, 12].astype(jnp.int32)
-    Gm1 = jnp.take(jnp.asarray(T.B2), b2, axis=0)
+    Gm1 = bit_ops.lut1d(b2, np.asarray(T.B2, np.float32))
     gain_step = _onehot_select(onehot, tb["gain_step"], (5,))
     gain_off = _onehot_select(onehot, tb["gain_off"], (5,))
     Gm_rest = gain_step * ((vals[:, 13:18] - gain_off) + jnp.float32(0.5))
@@ -444,7 +446,7 @@ def convert_7100_to_7200(imbe_d):
     d = imbe_d.astype(jnp.int32)
     b0 = bit_ops.pack_msb_first(d, np.array([1, 2, 3, 4, 5, 6, 86, 87], np.int32))
     b0s = jnp.clip(b0, 0, 207)
-    K = jnp.take(jnp.asarray(T.imbe_K_by_b0), b0s, axis=0)
+    K = bit_ops.lut1d(b0s, np.asarray(T.imbe_K_by_b0, np.int32))
 
     shifts = jnp.arange(32, dtype=jnp.int32)
     w0 = jnp.sum(d[:, 0:32] << shifts, axis=-1)

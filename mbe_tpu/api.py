@@ -401,17 +401,23 @@ def _process_data(process_fn, d, total_errors, c0_errors, c0_valid,
     d = jnp.asarray(d, jnp.int32)
     lanes_valid = bit_ops.bits_valid(d)
     d = d & 1
+    enh_in = st.enh if st.enh is not None else st.cur
     if imbe_path:
         c4 = jnp.asarray(c4_errors, jnp.int32)
         c4v = jnp.asarray(c4_valid, bool)
         out = process_fn(d, te, c0, c0v, c4, c4v,
-                         st.cur, st.prev, st.enh, st.comfort_rng,
+                         st.cur, st.prev, enh_in, st.comfort_rng,
                          st.lcg_prime)
     else:
+        if st.enh is None:
+            raise ValueError("AMBE paths require a carried enh state; "
+                             "use init_state(carry_enh=True)")
         out = process_fn(d, te, c0, c0v,
-                         st.cur, st.prev, st.enh, st.comfort_rng,
+                         st.cur, st.prev, enh_in, st.comfort_rng,
                          st.lcg_prime, tones_enabled=config.tones_enabled)
     audio, cur, prev, enh, rng, lcgp, fsm = out
+    if st.enh is None and imbe_path:
+        enh = None  # enh == cur; keep the carry structure slim
     new_st = state_mod.ChannelState(cur=cur, prev=prev, enh=enh,
                                     comfort_rng=rng, lcg_prime=lcgp)
 

@@ -81,7 +81,13 @@ class ChannelState:
 
     cur: Parms
     prev: Parms
-    enh: Parms
+    # enh (prev_mp_enhanced) may be None for IMBE-only streams: the IMBE
+    # FSM ends every step with enh == cur (imbe7200x4400.c:856 moves cur
+    # into prev_mp_enhanced right after synthesis), so carrying a separate
+    # copy through a scan doubles its HBM traffic for nothing. The AMBE
+    # FSMs genuinely diverge (tone/erasure lanes leave enh untouched) and
+    # require a real enh.
+    enh: Parms | None
     comfort_rng: jax.Array  # [C, 3] u32 (16-bit limbs of Java Random state)
     lcg_prime: jax.Array    # [C] f32 (unvoiced LCG cold-start value)
 
@@ -123,12 +129,17 @@ def _default_parms(c: int, ambe: bool) -> Parms:
     )
 
 
-def init_state(channels: int, rng_seed=None) -> ChannelState:
+def init_state(channels: int, rng_seed=None, carry_enh: bool = True
+               ) -> ChannelState:
     """mbe_initMbeParms for a batch of channels (+ RNG state).
 
     rng_seed: optional [C] uint32 per-channel seed, the equivalent of
     mbe_setThreadRngSeed (mbelib.c:173-181); None leaves the RNGs on their
     unseeded defaults (Java Random 0x12345678 and LCG 3147).
+    carry_enh: pass False for IMBE-only streams to drop the redundant
+    prev_mp_enhanced copy from the carried state (enh == cur at every IMBE
+    step boundary; measured 1.035x end-to-end at C=32768). AMBE steps
+    require carry_enh=True.
     """
     p = _default_parms(channels, ambe=False)
     if rng_seed is None:
@@ -142,7 +153,7 @@ def init_state(channels: int, rng_seed=None) -> ChannelState:
         comfort = noise.java_random_init(seed)
         lcg_prime = (seed % jnp.uint32(noise.LCG_M)).astype(jnp.float32)
     return ChannelState(cur=p, prev=jax.tree.map(jnp.copy, p),
-                        enh=jax.tree.map(jnp.copy, p),
+                        enh=jax.tree.map(jnp.copy, p) if carry_enh else None,
                         comfort_rng=comfort, lcg_prime=lcg_prime)
 
 

@@ -49,8 +49,8 @@ def lut1d(idx, table):
     Exact: exactly one compare matches, so the sum returns that entry
     bit-for-bit (int tables) / unchanged (float tables).
 
-    Out-of-range indices return 0 — every caller clips first (matching
-    the previous takes, whose callers also clipped).
+    Out-of-range indices clamp to [0, N-1], preserving the `jnp.take`
+    semantics this helper replaced (one jnp.clip that XLA fuses).
 
     Args: idx [...] int; table [N] (numpy or jax, int or float, N static).
     Returns: [...] of table's dtype.
@@ -58,8 +58,8 @@ def lut1d(idx, table):
     t = jnp.asarray(table)
     v = jnp.arange(t.shape[0], dtype=jnp.int32)
     zero = jnp.zeros((), t.dtype)
-    return jnp.sum(jnp.where(idx.astype(jnp.int32)[..., None] == v, t, zero),
-                   axis=-1)
+    idx = jnp.clip(idx.astype(jnp.int32), 0, t.shape[0] - 1)
+    return jnp.sum(jnp.where(idx[..., None] == v, t, zero), axis=-1)
 
 
 def pack_msb_first(bits, indices):

@@ -250,6 +250,31 @@ def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
 # Unvoiced FFT synthesis + WOLA (mbe_unvoiced_fft.c:714-761) — hot loop #2
 # ---------------------------------------------------------------------------
 
+def band_of_bins(cur_w0):
+    """Exact per-bin band id [C, 129] (f32; -1 = no band).
+
+    The reference's band intervals tile the bin axis contiguously —
+    b_max[l] = ceil((l+0.5)*mult) = a_min[l+1] (mbe_unvoiced_fft.c:643-661)
+    — so bin k's band is floor(k/mult + 0.5) up to f32 rounding at the
+    edges. Two correction rounds against the reference's own f32 edge
+    expressions make the assignment match the C's ceil-based membership
+    bit-for-bit. One [C,129] map replaces the [C,57,129] membership masks
+    the round-2 code materialized twice."""
+    mult = M_256_OVER_2PI * cur_w0  # [C]
+    kf = jnp.arange(FFT_SIZE // 2 + 1, dtype=jnp.float32)[None, :]  # [1,129]
+    m = mult[:, None]
+    safe = m > 0.0
+    band = jnp.floor(kf / jnp.where(safe, m, 1.0) + jnp.float32(0.5))
+    for _ in range(2):
+        lo = jnp.ceil((band - jnp.float32(0.5)) * m)   # a_min[band] pre-clamp
+        hi = jnp.ceil((band + jnp.float32(0.5)) * m)   # b_max[band] pre-clamp
+        band = (band + (kf >= hi).astype(jnp.float32)
+                - (kf < lo).astype(jnp.float32))
+    # the reference clamps b_max to 128, so bin 128 belongs to no band
+    return jnp.where(safe & (kf < jnp.float32(FFT_SIZE // 2)), band,
+                     jnp.float32(-1.0))
+
+
 def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
     """JMBE #117-126. Returns (unvoiced_add [C,160], new_previousUw [C,256]).
 
@@ -258,29 +283,32 @@ def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
     uw = noise_buffer * jnp.asarray(_WIN256)[None, :]
     Xre, Xim = fft_ops.rfft256(uw)  # [C, 129] each
 
-    # Band edges (mbe_unvoiced_fft.c:643-661)
+    # Band edges (mbe_unvoiced_fft.c:643-661), [C,57] for the counts only;
+    # per-bin membership goes through the exact band map (band_of_bins).
     mult = M_256_OVER_2PI * cur_w0  # [C]
     lf = jnp.asarray(_L_IDX_F)[None, :]
-    a_min = jnp.ceil((lf - 0.5) * mult[:, None]).astype(jnp.int32)
-    b_max = jnp.ceil((lf + 0.5) * mult[:, None]).astype(jnp.int32)
-    a_min = jnp.maximum(a_min, 0)
-    b_max = jnp.minimum(b_max, FFT_SIZE // 2)
-
-    bins = jnp.arange(FFT_SIZE // 2 + 1, dtype=jnp.int32)[None, None, :]  # [1,1,129]
-    member = (bins >= a_min[..., None]) & (bins < b_max[..., None])  # [C,57,129]
+    a_min = jnp.maximum(jnp.ceil((lf - 0.5) * mult[:, None]), 0.0)
+    b_max = jnp.minimum(jnp.ceil((lf + 0.5) * mult[:, None]),
+                        jnp.float32(FFT_SIZE // 2))
     lmask = band_mask(cur_L) & (cur_Vl == 0)
 
+    band = band_of_bins(cur_w0)  # [C, 129]
     mag2 = Xre * Xre + Xim * Xim  # [C, 129]
-    numerator = jnp.sum(jnp.where(member, mag2[:, None, :], 0.0), axis=-1)  # [C,57]
-    bin_count = (b_max - a_min).astype(jnp.float32)
+    eq = band[:, None, :] == lf[..., None]  # fuses into the reduce below
+    numerator = jnp.sum(jnp.where(eq, mag2[:, None, :], 0.0), axis=-1)  # [C,57]
+    bin_count = b_max - a_min
     ok = lmask & (bin_count > 0) & (numerator > 1e-10)
     denom = jnp.where(bin_count > 0, bin_count, 1.0)
     mean = numerator / denom
     scalor = UNVOICED_SCALE_COEFF * cur_Ml / jnp.sqrt(jnp.where(mean > 0, mean, 1.0))
     scalor = jnp.where(ok, scalor, 0.0)
 
-    bin_scalor = jnp.sum(jnp.where(member & ok[..., None], scalor[..., None], 0.0),
-                         axis=1)  # [C, 129]
+    # per-band scalor -> bins: select chain over the band map (each bin
+    # reads exactly one band; gated scalor is already 0 for non-ok bands)
+    bin_scalor = jnp.zeros_like(mag2)
+    for l in range(57):
+        bin_scalor = jnp.where(band == jnp.float32(l),
+                               scalor[:, l:l + 1], bin_scalor)
     uw_out = fft_ops.irfft256(Xre * bin_scalor, Xim * bin_scalor)  # [C,256]
 
     # WOLA combine (mbe_unvoiced_fft.c:343-530)

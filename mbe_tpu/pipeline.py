@@ -108,18 +108,31 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
     total = c0 + prot
     true_mask = jnp.ones_like(c0, dtype=bool)
 
+    # enh may be dropped from the carried state for IMBE-only streams
+    # (init_state(carry_enh=False)): enh == cur at every IMBE step boundary,
+    # so the incoming cur doubles as prev_mp_enhanced. AMBE genuinely
+    # mutates enh separately and needs the real copy.
+    enh_in = state.enh if state.enh is not None else state.cur
     if codec.startswith("imbe"):
         audio, cur, prev, enh, rng, lcgp, fsm = imbe.process_imbe4400(
             d, total, c0, true_mask, c4, true_mask,
-            state.cur, state.prev, state.enh, state.comfort_rng,
+            state.cur, state.prev, enh_in, state.comfort_rng,
             state.lcg_prime)
+        if state.enh is None:
+            enh = None
     elif codec == "ambe2450":
+        if state.enh is None:
+            raise ValueError("AMBE steps require a carried enh state; "
+                             "use init_state(carry_enh=True)")
         audio, cur, prev, enh, rng, lcgp, fsm = ambe.process_ambe2450(
-            d, total, c0, true_mask, state.cur, state.prev, state.enh,
+            d, total, c0, true_mask, state.cur, state.prev, enh_in,
             state.comfort_rng, state.lcg_prime, tones_enabled=tones_enabled)
     else:
+        if state.enh is None:
+            raise ValueError("AMBE steps require a carried enh state; "
+                             "use init_state(carry_enh=True)")
         audio, cur, prev, enh, rng, lcgp, fsm = ambe.process_ambe2400(
-            d, total, c0, true_mask, state.cur, state.prev, state.enh,
+            d, total, c0, true_mask, state.cur, state.prev, enh_in,
             state.comfort_rng, state.lcg_prime, tones_enabled=tones_enabled)
 
     new_state = ChannelState(cur=cur, prev=prev, enh=enh, comfort_rng=rng,

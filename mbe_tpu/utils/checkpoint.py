@@ -19,6 +19,8 @@ def save(path: str, state: ChannelState) -> None:
     leaves = {}
     for name in ("cur", "prev", "enh"):
         p = getattr(state, name)
+        if p is None:  # slim IMBE carry (init_state(carry_enh=False))
+            continue
         for f in dataclasses.fields(p):
             leaves[f"{name}.{f.name}"] = np.asarray(getattr(p, f.name))
     leaves["comfort_rng"] = np.asarray(state.comfort_rng)
@@ -32,7 +34,7 @@ def load(path: str, device=None) -> ChannelState:
     def parms(prefix):
         kw = {k.split(".", 1)[1]: jax.device_put(v, device)
               for k, v in data.items() if k.startswith(prefix + ".")}
-        return Parms(**kw)
+        return Parms(**kw) if kw else None
 
     return ChannelState(
         cur=parms("cur"), prev=parms("prev"), enh=parms("enh"),

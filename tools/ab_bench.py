@@ -33,6 +33,11 @@ from mbe_tpu import pipeline  # noqa: E402
 from mbe_tpu.models import state as st  # noqa: E402
 
 
+def init_for(codec: str, channels: int):
+    """Codec-appropriate initial state (IMBE drops the redundant enh carry)."""
+    return st.init_state(channels, carry_enh=not codec.startswith("imbe"))
+
+
 def build(codec: str, channels: int, steps: int = 50):
     if codec not in pipeline.FRAME_SHAPES:
         raise SystemExit(f"unknown codec {codec!r}; one of "
@@ -51,12 +56,12 @@ def build(codec: str, channels: int, steps: int = 50):
         body, (s0, jnp.float32(0)), None, length=steps)[0]), steps
 
 
-def measure(fn, channels: int, steps: int, reps: int = 3):
-    out = fn(st.init_state(channels))
+def measure(fn, channels: int, steps: int, reps: int = 3, codec="imbe7200"):
+    out = fn(init_for(codec, channels))
     jax.block_until_ready(out)
     best = np.inf
     for _ in range(reps):
-        s0 = st.init_state(channels)
+        s0 = init_for(codec, channels)
         jax.block_until_ready(s0)
         t0 = time.time()
         out = fn(s0)
@@ -65,14 +70,17 @@ def measure(fn, channels: int, steps: int, reps: int = 3):
     return best
 
 
-def ab(fn_a, fn_b, channels: int, steps: int, rounds: int = 3):
+def ab(fn_a, fn_b, channels: int, steps: int, rounds: int = 3,
+       codec="imbe7200"):
     """Interleaved A/B: returns (best_a, best_b) seconds/step."""
     best_a = best_b = np.inf
     for fn in (fn_a, fn_b):  # compile both first
-        jax.block_until_ready(fn(st.init_state(channels)))
+        jax.block_until_ready(fn(init_for(codec, channels)))
     for _ in range(rounds):
-        best_a = min(best_a, measure(fn_a, channels, steps, reps=1))
-        best_b = min(best_b, measure(fn_b, channels, steps, reps=1))
+        best_a = min(best_a, measure(fn_a, channels, steps, reps=1,
+                                     codec=codec))
+        best_b = min(best_b, measure(fn_b, channels, steps, reps=1,
+                                     codec=codec))
     return best_a, best_b
 
 
@@ -81,6 +89,6 @@ if __name__ == "__main__":
     channels = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     fn, steps = build(codec, channels)
-    dt = measure(fn, channels, steps, reps)
+    dt = measure(fn, channels, steps, reps, codec=codec)
     print(f"{codec} C={channels}: {dt * 1e3:.3f} ms/step -> "
           f"{channels / dt:,.0f} frames/s ({channels / dt / 50:,.0f}x rt)")

@@ -43,11 +43,15 @@ def build(codec: str, channels: int, steps: int = 50):
         body, (s0, jnp.float32(0)), None, length=steps)[0]), steps
 
 
-def measure(fn, channels: int, steps: int, reps: int = 3):
-    jax.block_until_ready(fn(st.init_state(channels)))
+def _init(codec, channels):
+    return st.init_state(channels, carry_enh=not codec.startswith("imbe"))
+
+
+def measure(fn, channels: int, steps: int, reps: int = 3, codec="imbe7200"):
+    jax.block_until_ready(fn(_init(codec, channels)))
     best = np.inf
     for _ in range(reps):
-        s0 = st.init_state(channels)
+        s0 = _init(codec, channels)
         jax.block_until_ready(s0)
         t0 = time.time()
         jax.block_until_ready(fn(s0))
@@ -60,6 +64,6 @@ if __name__ == "__main__":
     channels = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     fn, steps = build(codec, channels)
-    dt = measure(fn, channels, steps, reps)
+    dt = measure(fn, channels, steps, reps, codec=codec)
     print(f"SOFT {codec} C={channels}: {dt * 1e3:.3f} ms/step -> "
           f"{channels / dt:,.0f} frames/s ({channels / dt / 50:,.0f}x rt)")

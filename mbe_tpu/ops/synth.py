@@ -39,16 +39,20 @@ _L_IDX_I = np.arange(57, dtype=np.int32)
 _N_IDX = np.arange(FRAME, dtype=np.float32)
 
 
-def _use_pallas_voiced(c: int) -> bool:
-    """Use the Pallas oscillator-recurrence kernel for the voiced bank?
-    MBE_TPU_PALLAS_VOICED: 1=always, 0=never, auto=TPU only (default).
-    Needs the channel count to be a multiple of the 128-channel block."""
-    mode = os.environ.get("MBE_TPU_PALLAS_VOICED", "auto")
+def _use_pallas(env: str, c: int, default: str = "auto") -> bool:
+    """Use a Pallas kernel? env: 1=always (interpret off-TPU so CI can
+    exercise the wiring), 0=never, auto=TPU only. Needs the channel
+    count to be a multiple of the 128-channel block."""
+    mode = os.environ.get(env, default)
     if mode == "0" or c % 128 != 0:
         return False
     if mode == "1":
         return True
     return jax.default_backend() == "tpu"
+
+
+def _use_pallas_voiced(c: int) -> bool:
+    return _use_pallas("MBE_TPU_PALLAS_VOICED", c)
 
 
 def _wola_weights():
@@ -278,9 +282,27 @@ def band_of_bins(cur_w0):
 def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
     """JMBE #117-126. Returns (unvoiced_add [C,160], new_previousUw [C,256]).
 
-    The 256-pt real FFT pair runs as MXU matmuls (ops/fft.py)."""
+    The 256-pt real FFT pair runs as MXU matmuls (ops/fft.py). A fully
+    fused VMEM-resident Pallas kernel for the stage exists
+    (ops/pallas/unvoiced.py) but measured SLOWER than this XLA path
+    (0.80 vs 0.60 ms stage-only at C=16384, 0.904x end-to-end): batching
+    the DFTs across all channels as two big MXU matmuls beats VMEM
+    locality with per-block [128,256] matmuls, and the irreducible
+    57-step band-gain gather costs the same either way. Kept opt-in
+    (MBE_TPU_PALLAS_UNVOICED=1) with CI interpret-mode wiring."""
     _lazy_tables()
     uw = noise_buffer * jnp.asarray(_WIN256)[None, :]
+
+    if _use_pallas("MBE_TPU_PALLAS_UNVOICED", cur_w0.shape[0], default="0"):
+        from .pallas import unvoiced as pallas_unvoiced
+        lmask = band_mask(cur_L) & (cur_Vl == 0)
+        glm = jnp.where(lmask, UNVOICED_SCALE_COEFF * cur_Ml, 0.0)
+        glm = jnp.pad(glm, ((0, 0), (0, 64 - 57)))
+        mult = (M_256_OVER_2PI * cur_w0)[:, None]
+        return pallas_unvoiced.unvoiced_wola(
+            uw, previous_uw, glm, mult,
+            interpret=jax.default_backend() != "tpu")
+
     Xre, Xim = fft_ops.rfft256(uw)  # [C, 129] each
 
     # Band edges (mbe_unvoiced_fft.c:643-661), [C,57] for the counts only;

@@ -122,6 +122,34 @@ def test_render_voiced_pallas_wiring_matches_xla(monkeypatch):
     assert np.abs(out - ref).max() / scale < 5e-4
 
 
+def test_unvoiced_pallas_wiring_matches_xla(monkeypatch):
+    """The opt-in fused unvoiced kernel (interpret mode) matches the XLA
+    stage (window -> DFT -> band scalors -> iDFT -> WOLA,
+    mbe_unvoiced_fft.c:714-761) to bf16-hi/lo DFT tolerance (~90 dB;
+    the synthesis budget is 60 dB). Guards the full wiring: glm gating,
+    band map, segment sums, WOLA weights."""
+    from mbe_tpu.ops import synth
+
+    rng = np.random.default_rng(5)
+    c = 128
+    L = rng.integers(9, 57, c).astype(np.int32)
+    w0 = (2.0 * np.pi * 0.4875 / (L + 0.25)).astype(np.float32)
+    args = (jnp.asarray(w0), jnp.asarray(L),
+            jnp.asarray(rng.uniform(0, 500, (c, 57)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 2, (c, 57)).astype(np.int32)),
+            jnp.asarray(rng.uniform(-400, 400, (c, 256)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, 53125, (c, 256)).astype(np.float32)))
+
+    monkeypatch.setenv("MBE_TPU_PALLAS_UNVOICED", "0")
+    add_ref, uw_ref = (np.asarray(x) for x in synth.unvoiced_fft(*args))
+    monkeypatch.setenv("MBE_TPU_PALLAS_UNVOICED", "1")
+    add, uw = (np.asarray(x) for x in synth.unvoiced_fft(*args))
+
+    scale = max(np.abs(add_ref).max(), np.abs(uw_ref).max())
+    assert np.abs(add - add_ref).max() / scale < 1e-4
+    assert np.abs(uw - uw_ref).max() / scale < 1e-4
+
+
 def test_render_tone_angle_addition_matches_grid():
     """render_tone's angle-addition factorization (10 uint32-exact anchor
     phases x 16 small offsets) matches the naive per-sample wrapped-phase

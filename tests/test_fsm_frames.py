@@ -18,12 +18,14 @@ PROCESS = {
     "ambe2450": api.process_ambe3600x2450_framef,
     "ambe2400": api.process_ambe3600x2400_framef,
     "imbe7200": api.process_imbe7200x4400_framef,
+    "imbe7100": api.process_imbe7100x4400_framef,
 }
 
 EXPECT_PATHS = {
     "ambe2450": {"tone", "erasure", "repeat", "mute"},
     "ambe2400": {"tone", "repeat", "mute"},
     "imbe7200": {"repeat", "mute"},
+    "imbe7100": {"repeat", "mute"},
 }
 
 FLAG_BITS = (("tone", api.PROCESS_FLAG_TONE),
@@ -32,7 +34,8 @@ FLAG_BITS = (("tone", api.PROCESS_FLAG_TONE),
              ("mute", api.PROCESS_FLAG_MUTE))
 
 
-@pytest.mark.parametrize("codec", ["ambe2450", "ambe2400", "imbe7200"])
+@pytest.mark.parametrize("codec", ["ambe2450", "ambe2400", "imbe7200",
+                                   "imbe7100"])
 def test_frame_fsm_paths_match_reference(vectors, codec):
     vec = vectors(f"fsm_frames_{codec}")
     frames = vec["frames"]

@@ -11,7 +11,8 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
-from encode_frames import encode_ambe3600, encode_imbe7200, flip_bits  # noqa: E402
+from encode_frames import (encode_ambe3600, encode_imbe7100,  # noqa: E402
+                           encode_imbe7200, flip_bits)
 from gen_fsm_vectors import ambe2400_d, ambe2450_d, imbe_d  # noqa: E402
 from ref import Ref  # noqa: E402
 
@@ -90,6 +91,27 @@ def sequences():
     for _ in range(6):
         s.append((encode_imbe7200(imbe_d(b0=90, rng=rng)), []))
     seqs["imbe7200"] = s
+
+    # IMBE 7100 (ProVoice): same regimes through the short-Golay C0 +
+    # 100-step PRNG + 7100->7200 convert chain (imbe7100x4400.c:439-496).
+    # Data-bit columns differ from 7200: C0 data at fr[0][12..18] (7-bit
+    # short-Golay data; corrected before the demod seed is read), C1 data
+    # at fr[1][12..23], C2/C3 at cols 11..22, C4/C5 Hamming any column.
+    J_C0 = [(0, 14), (0, 17)]
+    J_GOLAY = [(1, 13), (1, 17), (1, 22), (2, 13), (2, 17), (2, 22),
+               (3, 11), (3, 15), (3, 19)]
+    J_HAM = [(4, 2), (5, 8)]
+    s = []
+    for _ in range(3):
+        s.append((encode_imbe7100(imbe_d(b0=100, rng=rng)), []))
+    for _ in range(7):                                          # headroom reset
+        s.append((encode_imbe7100(imbe_d(b0=220, rng=rng)), []))
+    for _ in range(45):                                         # error-rate mute
+        s.append((encode_imbe7100(imbe_d(b0=110, rng=rng)),
+                  J_C0 + J_GOLAY + J_HAM))
+    for _ in range(6):
+        s.append((encode_imbe7100(imbe_d(b0=90, rng=rng)), []))
+    seqs["imbe7100"] = s
     return seqs
 
 

@@ -541,8 +541,13 @@ def _decode_imbe7100_frame_soft(f, soft_rel):
     # each (see decode_imbe7200_frame).
     g_in = jnp.stack([row1[:, 1:24]] + rows23, axis=1)  # [C, 3, 23]
     h_in = jnp.stack(rows45, axis=1)                    # [C, 2, 15]
-    g_rel = jnp.stack([soft_rel[:, 1, 1:24], soft_rel[:, 2, :23],
-                       soft_rel[:, 3, :23]], axis=1)
+    # optimization_barrier works around an XLA TPU miscompile (jax 0.9.0,
+    # v5e): stacking slices of one array with DIFFERENT minor-axis offsets
+    # ([1:24] vs [:23]) emits rows shifted by one on TPU (CPU is correct).
+    # Minimal repro + workaround matrix: tools/t_xla_stack_repro.py.
+    g_rel = jnp.stack(list(jax.lax.optimization_barrier(
+        (soft_rel[:, 1, 1:24], soft_rel[:, 2, :23], soft_rel[:, 3, :23]))),
+        axis=1)
     g_out, g_errs = ecc.golay2312_soft(g_in, g_rel)
     h_out, h_errs = ecc.hamming1511_soft(h_in, soft_rel[:, 4:6, :15],
                                          variant7100=True)

@@ -247,21 +247,47 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     Cik = jnp.concatenate([Ri[..., None], hoc], axis=-1).reshape(c, 60)
 
     # --- Tl via factored block-IDCT (imbe7200x4400.c:251-270) -------------
-    # U[(c,i), (ji,j)] = all 11 block-size IDCTs of every Cik block at once
-    # (one small matmul), then fused one-hot reduces over the actual block
-    # size Ji[L9,i] and the slot->band map scl (see _decode_tables). Bitwise
-    # identical to contracting the dense per-L [57,60] matrix.
-    U = jnp.matmul(Cik.reshape(c * 6, 10), jnp.asarray(tb["Midct"]),
-                   precision=hp,
-                   preferred_element_type=jnp.float32)  # [C*6, 110]
-    U = U.reshape(c, 6, 11, 10)
-    jivar = jnp.matmul(onehot, jnp.asarray(tb["Ji"]), precision=hp,
-                       preferred_element_type=jnp.float32)  # [C, 6]
-    Usel = jnp.sum(
-        jnp.where(jivar[:, :, None, None]
-                  == jnp.arange(11, dtype=jnp.float32)[None, None, :, None],
-                  U, 0.0), axis=2).reshape(c, 60)  # [C, 6, 10] -> [C, 60]
-    scl = jnp.matmul(onehot, jnp.asarray(tb["scl"]), precision=hp,
+    # Usel[c,i,j] = sum_k Cik[c,i,k] * Midct[k, ji*10+j] with the per-block
+    # size ji = Ji[L9,i]. The round-2 form computed ALL 11 block-size IDCTs
+    # as one MXU matmul and one-hot-reduced over ji — but that materializes
+    # a [C,6,11,10] f32 U (86 MB at C=32768, 0.34 ms of pure HBM traffic,
+    # xprof'd round 3). Here the ji-select moves onto the MATRIX side: per
+    # k, an 11-way compare-reduce picks the [10]-wide Midct row slice, and
+    # the k-sum accumulates in ascending k like the reference's inner loop
+    # (imbe7200x4400.c:259-264) — one fused VPU kernel, no intermediate,
+    # same cosf-table values.
+    M3 = np.asarray(tb["Midct"]).reshape(10, 11, 10)  # [k, ji, j]
+    # The block sizes have spread exactly 1: Ji[L9,i] = L//6 + (i >= 6-L%6)
+    # (verified against T.ImbeJi for all 48 L9) — so instead of an 11-way
+    # per-(c,i) matrix select (a 55-select chain, xprof'd 0.40 ms), gather
+    # the per-CHANNEL lo/hi IDCT matrices once ([C,100] each, 9-way chain
+    # sharing compares) and pick per block with ONE boolean select in the
+    # k-accumulation. Ascending-k sum like the reference's inner loop
+    # (imbe7200x4400.c:259-264); same cosf-table values.
+    M100 = np.ascontiguousarray(M3.transpose(1, 0, 2).reshape(11, 100))
+    lo = jnp.floor_divide(L, 6)
+    lof = lo.astype(jnp.float32)[:, None]  # [C, 1]
+    nlo = (6 - (L - 6 * lo))[:, None]      # first nlo blocks have size lo
+    ehi = jnp.arange(6, dtype=jnp.int32)[None, :] >= nlo  # [C, 6]
+    Mlo = jnp.zeros((c, 100), jnp.float32)
+    Mhi = jnp.zeros((c, 100), jnp.float32)
+    for v in range(1, 10):
+        mv = lof == jnp.float32(v)
+        Mlo = jnp.where(mv, jnp.asarray(M100[v]), Mlo)
+        Mhi = jnp.where(mv, jnp.asarray(M100[v + 1]), Mhi)
+    Cik3 = Cik.reshape(c, 6, 10)
+    ehx = ehi[..., None]  # [C, 6, 1]
+    Usel = jnp.zeros((c, 6, 10), jnp.float32)
+    for k in range(10):
+        wk = jnp.where(ehx, Mhi[:, None, 10 * k:10 * k + 10],
+                       Mlo[:, None, 10 * k:10 * k + 10])
+        Usel = Usel + Cik3[:, :, k, None] * wk
+    Usel = Usel.reshape(c, 60)
+    # scl is a small-integer table (<= 59): exact in bf16, so the one-hot
+    # row gather runs 1-pass on the MXU instead of HIGHEST's 6 (xprof'd
+    # 0.145 ms -> noise).
+    onehot_bf = onehot.astype(jnp.bfloat16)
+    scl = jnp.matmul(onehot_bf, jnp.asarray(tb["scl"], jnp.bfloat16),
                      preferred_element_type=jnp.float32)  # [C, 57]
     # each band l reads exactly one slot, so this is a pure select chain
     Tl = jnp.zeros((c, 57), jnp.float32)

@@ -303,7 +303,9 @@ def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
             uw, previous_uw, glm, mult,
             interpret=jax.default_backend() != "tpu")
 
-    Xre, Xim = fft_ops.rfft256(uw)  # [C, 129] each
+    reim = fft_ops.rfft256_packed(uw)  # [C, 258] = [re | im], one matmul
+    Xre = reim[:, :fft_ops.NBINS]
+    Xim = reim[:, fft_ops.NBINS:]
 
     # Band edges (mbe_unvoiced_fft.c:643-661), [C,57] for the counts only;
     # per-bin membership goes through the exact band map (band_of_bins).
@@ -331,7 +333,8 @@ def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
     for l in range(57):
         bin_scalor = jnp.where(band == jnp.float32(l),
                                scalor[:, l:l + 1], bin_scalor)
-    uw_out = fft_ops.irfft256(Xre * bin_scalor, Xim * bin_scalor)  # [C,256]
+    scal2 = jnp.concatenate([bin_scalor, bin_scalor], axis=-1)  # [C, 258]
+    uw_out = fft_ops.irfft256_packed(reim * scal2)  # [C, 256], one matmul
 
     # WOLA combine (mbe_unvoiced_fft.c:343-530)
     zeros32 = jnp.zeros((uw_out.shape[0], 32), jnp.float32)

@@ -118,9 +118,12 @@ def test_config_int16_output(vectors):
     cfg = DecoderConfig(int16_output=True)
     _, pcm16, _, _ = api.process_imbe7200x4400_framef(frame, state, config=cfg)
     assert np.asarray(pcm16).dtype == np.int16
-    # vs the reference's int16: f32 layout differences can move a sample
-    # across a truncation boundary (PARITY.md gap #1), so near-full-scale
-    # lanes (the crafted regime channels) may land 1 LSB apart.
+    # vs the reference's int16: f32 op-order differences (PARITY.md gap #1)
+    # shift a few samples' floats enough that trunc() lands 1 LSB away.
+    # Measured on this vector (2026-08-17): max diff 1 on 0.98% of samples
+    # (25 of 2560, confined to 3 channels, not amplitude-correlated) —
+    # budget 2% with margin, so a real regression (a wrong stage moves
+    # whole frames) trips it while boundary scatter does not.
     diff = np.abs(np.asarray(pcm16, np.int32) - vec["pcm16"][0].astype(np.int32))
-    assert diff.max() <= 1 and (diff > 0).mean() < 0.05, (
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.02, (
         f"max {diff.max()}, frac {(diff > 0).mean():.3f}")

@@ -25,6 +25,7 @@ index / diffs unpack from the key with shifts — no take_along_axis.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +33,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CB = 128   # channels per grid block (sublane dimension)
 KP = 32    # padded contraction width for the small matmuls
+
+
+def _tiles(c, ncw):
+    """(channel-block, codeword-tile) sizes; env-tunable for sweeps.
+
+    Read at trace time so a fresh jit closure (tools/soft_sweep.py builds
+    one per config) picks up MBE_TPU_SOFT_CB / MBE_TPU_SOFT_CWT."""
+    cb = int(os.environ.get("MBE_TPU_SOFT_CB", "128"))
+    cwt = min(ncw, int(os.environ.get("MBE_TPU_SOFT_CWT", "2048")))
+    if c % cb or ncw % cwt:
+        raise ValueError(f"tile sizes must divide shapes: C={c} CB={cb}, "
+                         f"ncw={ncw} cwt={cwt}")
+    return cb, cwt
 
 
 def _kernel(q_ref, base_ref, h_ref, hd_ref, tq_ref, th_ref, out_ref,
@@ -93,7 +106,7 @@ def _soft_decode_pallas(bits, rel, hard_bits, codewords_key, data_lo, n,
     """Returns the winning int32 key [C] (idx in the low bits)."""
     tq_np, th_np, ncw, d = _tables(codewords_key, data_lo, n)
     c = bits.shape[0]
-    cwt = min(ncw, 2048)  # codeword tile (VMEM: ~4 [CB, cwt] f32 arrays)
+    CB, cwt = _tiles(c, ncw)  # VMEM: ~4 [CB, cwt] f32 arrays
 
     relf = rel.astype(jnp.float32)
     bitsf = bits.astype(jnp.float32)

@@ -29,7 +29,7 @@ def save(path: str, state: ChannelState) -> None:
 
 
 def load(path: str, device=None) -> ChannelState:
-    data = dict(np.load(path))
+    data = dict(np.load(path, allow_pickle=False))
 
     def parms(prefix):
         kw = {k.split(".", 1)[1]: jax.device_put(v, device)

@@ -1,7 +1,14 @@
-"""Measure the trivial-body scan floor: many-leaf state vs packed state.
+"""Measure the touch-all-state scan floor: many-leaf state vs packed state.
 
-The ChannelState pytree has ~63 leaves; VERDICT says the trivial scan costs
-0.73 ms at C=32768. Compare against the same bytes packed into few leaves.
+The ChannelState pytree has ~44 leaves (slim IMBE carry); the end-of-round-2
+ablation put the trivial-scan floor at ~0.73 ms at C=32768. Hypothesis
+(VERDICT round-3 item #2): per-leaf kernel overhead, not bandwidth — test by
+carrying the SAME bytes in 3 packed buffers.
+
+Every variant's body adds the per-step scalar x to every leaf (int leaves:
++int(x)), so each leaf is read+written once per step — an unchanged carry is
+loop-invariant and XLA hoists it, which would measure nothing (the
+input-dependent-stub lesson, CLAUDE.md).
 """
 import time
 import sys
@@ -18,6 +25,7 @@ from mbe_tpu.models import state as st
 
 C = 32768
 STEPS = 200
+XS = jnp.arange(1, STEPS + 1, dtype=jnp.float32) * 1e-9
 
 
 def timeit(name, fn, *args):
@@ -29,69 +37,56 @@ def timeit(name, fn, *args):
         out = fn(*args)
         jax.block_until_ready(out)
         best = min(best, (time.time() - t0) / STEPS)
-    print(f"{name:28s} {best*1e3:.3f} ms/step", flush=True)
+    print(f"{name:34s} {best*1e3:.3f} ms/step", flush=True)
     return best
 
 
-s0 = st.init_state(C)
+def perturb(leaf, x):
+    if jnp.issubdtype(leaf.dtype, jnp.floating):
+        return leaf + x.astype(leaf.dtype)
+    return leaf + (x * 0).astype(leaf.dtype) + jnp.ones((), leaf.dtype)
+
+
+def make_scan(tree):
+    @jax.jit
+    def run(t):
+        def body(ss, x):
+            ss2 = jax.tree.map(lambda a: perturb(a, x), ss)
+            # consume one element so the whole chain is live
+            probe = jax.tree.leaves(ss2)[0]
+            return ss2, probe.reshape(-1)[0]
+        return jax.lax.scan(body, t, XS)
+    return run
+
+
+s0 = st.init_state(C, carry_enh=False)
 leaves = jax.tree.leaves(s0)
-print("leaves:", len(leaves), "bytes/ch:",
-      sum(x.nbytes for x in leaves) / C)
+nbytes = sum(x.nbytes for x in leaves)
+print(f"leaves: {len(leaves)}  bytes/ch: {nbytes / C:.0f}  "
+      f"total: {nbytes / 2**20:.0f} MiB", flush=True)
 
+timeit("touch-all scan (pytree)", make_scan(s0), s0)
 
-@jax.jit
-def scan_state(s):
-    def body(ss, _):
-        return ss, jnp.float32(0)
-    return jax.lax.scan(body, s, None, length=STEPS)
+# same bytes in 3 leaves: one [C, F] f32 block, one [C, I] i32 block,
+# one [C, U] u32 block
+fbytes = sum(x.nbytes for x in leaves
+             if jnp.issubdtype(x.dtype, jnp.floating)) // C // 4
+ibytes = sum(x.nbytes for x in leaves if x.dtype == jnp.int32) // C // 4
+ubytes = sum(x.nbytes for x in leaves if x.dtype == jnp.uint32) // C // 4
+print(f"packed cols: f32 {fbytes}, i32 {ibytes}, u32 {ubytes}")
+packed = (jnp.zeros((C, fbytes), jnp.float32),
+          jnp.zeros((C, max(ibytes, 1)), jnp.int32),
+          jnp.zeros((C, max(ubytes, 1)), jnp.uint32))
+timeit("touch-all scan (3 packed)", make_scan(packed), packed)
 
-timeit("trivial scan (63 leaves)", scan_state, s0)
+# middle ground: [C,57]/[C,256]/[C,96] arrays separate, the ~17 [C]
+# scalars packed into one [C,17] block per Parms
+arrs = tuple(x for x in leaves if x.ndim > 1)
+nscal = len(leaves) - len(arrs)
+mid = (jnp.zeros((C, nscal), jnp.float32),) + arrs
+print(f"mid: {len(mid)} leaves")
+timeit("touch-all scan (scalars packed)", make_scan(mid), mid)
 
-# same bytes in 5 leaves: 3x [C, 57*5+16] f32-ish blocks + uw + overlap
-f = jnp.zeros((C, 3 * (57 * 5 + 32)), jnp.float32)
-uw = jnp.zeros((C, 3 * 256), jnp.float32)
-ov = jnp.zeros((C, 3 * 96 + 16), jnp.float32)
-
-
-@jax.jit
-def scan_packed(a, b, c):
-    def body(ss, _):
-        return ss, jnp.float32(0)
-    return jax.lax.scan(body, (a, b, c), None, length=STEPS)
-
-timeit("trivial scan (3 packed)", scan_packed, f, uw, ov)
-
-
-# a realistic middle ground: pack only the small [C] scalars (the 3x16
-# scalar leaves), keep the [C,57] arrays separate -> ~21 leaves
-arrs = [x for x in leaves if x.ndim > 1]
-print("2d leaves:", len(arrs))
-sc = jnp.zeros((C, 48), jnp.float32)
-
-
-@jax.jit
-def scan_mid(sc, arrs):
-    def body(ss, _):
-        return ss, jnp.float32(0)
-    return jax.lax.scan(body, (sc, arrs), None, length=STEPS)
-
-timeit("trivial scan (scalars packed)", scan_mid, sc, arrs)
-
-
-# does donation change anything?
-@jax.jit
-def onestep_state(s):
-    return jax.tree.map(lambda x: x, s)
-
-# non-scan single dispatch cost for reference
-def many(s):
-    for _ in range(20):
-        s = onestep_state(s)
-    return s
-timeit_steps = 20
-out = many(s0)
-jax.block_until_ready(out)
-t0 = time.time()
-out = many(s0)
-jax.block_until_ready(out)
-print(f"identity jit x20 dispatch: {(time.time()-t0)/20*1e3:.3f} ms/step")
+# bandwidth reference: one [C, total/4] f32 block, same total bytes
+one = jnp.zeros((C, nbytes // C // 4), jnp.float32)
+timeit("touch-all scan (1 leaf)", make_scan(one), one)

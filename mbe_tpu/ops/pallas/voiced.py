@@ -55,8 +55,8 @@ LI = 8     # interpolated harmonics (7) padded to one sublane tile
 def _kernel(y0p_ref, y1p_ref, c2p_ref,
             y0c_ref, y1c_ref, c2c_ref,
             a0_ref, da_ref, oc_ref, os_ref, dc_ref, ds_ref,
-            r2c_ref, r2s_ref,
-            outp_ref, outc_ref, outi_ref):
+            r2c_ref, r2s_ref, wp_ref, wc_ref,
+            out_ref):
     c2p = c2p_ref[...]
     c2c = c2c_ref[...]
     r2c = r2c_ref[...]
@@ -90,9 +90,12 @@ def _kernel(y0p_ref, y1p_ref, c2p_ref,
         rp, y0p, y1p = emit8(y0p, y1p, c2p)
         rc, y0c, y1c = emit8(y0c, y1c, c2c)
         ri, ic = emit8i(ic)
-        outp_ref[pl.ds(n * 8, 8), :] = rp
-        outc_ref[pl.ds(n * 8, 8), :] = rc
-        outi_ref[pl.ds(n * 8, 8), :] = ri
+        # windows folded in-kernel (same w*sum + w*sum + interp order as
+        # the old XLA epilogue): ONE [8, CB] store instead of three, and
+        # the caller keeps a single [160, C] result to transpose.
+        out_ref[pl.ds(n * 8, 8), :] = (
+            wp_ref[pl.ds(n * 8, 8), :] * rp
+            + wc_ref[pl.ds(n * 8, 8), :] * rc + ri)
         return y0p, y1p, y0c, y1c, ic
 
     jax.lax.fori_loop(
@@ -104,8 +107,8 @@ def _kernel(y0p_ref, y1p_ref, c2p_ref,
 
 def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
                 interp_amp0, interp_damp, interp_phi0, interp_alpha,
-                interp_q, interpret=False, cb=CB):
-    """Per-sample harmonic sums for all three voiced components.
+                interp_q, w_prev, w_cur, interpret=False, cb=CB):
+    """Windowed voiced component: all three harmonic sums + windows fused.
 
     Args (first six [C, 56] f32, interp_* [C, 7] f32; C a multiple of cb):
       gain_prev/gain_cur: 2*Ml with all masks folded in (zero = inactive).
@@ -115,11 +118,17 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
         the interpolated path's linear amplitude lerp (gate folded in).
       interp_phi0/interp_alpha/interp_q: quadratic phase
         theta_n = phi0 + alpha*n + q*n^2 (mbelib.c:953-968).
+      w_prev/w_cur: [160] f32 per-sample synthesis windows (Ws[n+160],
+        Ws[n]) applied in-kernel — the window is l-independent so it rides
+        on the summed row, and folding it here cuts the kernel's HBM
+        output (and the caller's transposes) from three [160, C] arrays
+        to one.
       cb: channels per grid block (128 is the measured optimum).
     Returns:
-      (sum_prev, sum_cur, sum_interp) each [C, 160]:
-      sum[c, n] = sum_l gain[c, l] * cos(phi[c, l] + n * step[c, l]) for the
-      windowed components; sum_interp[c, n] = sum_l amp_n * cos(theta_n).
+      voiced [C, 160]:
+      voiced[c, n] = w_prev[n] * sum_l gain_prev*cos(phi_prev + n*step_prev)
+                   + w_cur[n]  * sum_l gain_cur *cos(phi_cur0 + n*step_cur)
+                   + sum_l amp_n * cos(theta_n).
     """
     c = gain_prev.shape[0]
 
@@ -147,19 +156,25 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
           jnp.cos(delta0), jnp.sin(delta0),
           jnp.cos(2.0 * q), jnp.sin(2.0 * q))
 
+    # [160, cb] broadcast window tiles, same block for every grid step
+    wp = jnp.broadcast_to(jnp.asarray(w_prev, jnp.float32)[:, None],
+                          (160, cb))
+    wc = jnp.broadcast_to(jnp.asarray(w_cur, jnp.float32)[:, None],
+                          (160, cb))
+
     in_spec = pl.BlockSpec((LP, cb), lambda i: (0, i), memory_space=pltpu.VMEM)
     in_spec7 = pl.BlockSpec((LI, cb), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((160, cb), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((160, cb), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    outp, outc, outi = pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         interpret=interpret,
         grid=(c // cb,),
-        in_specs=[in_spec] * 6 + [in_spec7] * 8,
-        out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((160, c), jnp.float32),
-                   jax.ShapeDtypeStruct((160, c), jnp.float32),
-                   jax.ShapeDtypeStruct((160, c), jnp.float32)),
-    )(*a, *b, *iv)
-    return outp.T, outc.T, outi.T
+        in_specs=[in_spec] * 6 + [in_spec7] * 8 + [w_spec, w_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((160, c), jnp.float32),
+    )(*a, *b, *iv, wp, wc)
+    return out.T

@@ -218,17 +218,16 @@ def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
         amp0 = gi2 * prev_Ml[:, 1:NI + 1]
         damp = gi2 * (cur_Ml[:, 1:NI + 1] - prev_Ml[:, 1:NI + 1]) \
             * jnp.float32(1.0 / FRAME)
-        sum_prev, sum_cur, sum_interp = pallas_voiced.voiced_sums(
+        return pallas_voiced.voiced_sums(
             gain_prev, prev_PHIl[:, 1:], (prev_w0[:, None] * _L_IDX_F[1:]),
             gain_cur,
             cur_PHIl[:, 1:] - (cur_w0[:, None] * _L_IDX_F[1:]) * jnp.float32(FRAME),
             (cur_w0[:, None] * _L_IDX_F[1:]),
             amp0, damp, prev_PHIl[:, 1:NI + 1], alpha, q,
+            w_prev, w_cur,
             # MBE_TPU_PALLAS_VOICED=1 off-TPU runs interpret mode so CI can
             # exercise the full kernel wiring (gains/phases/interp coeffs)
             interpret=jax.default_backend() != "tpu")
-        return (w_prev[None, :] * sum_prev + w_cur[None, :] * sum_cur
-                + sum_interp)
 
     sum_prev = jnp.sum(gain_prev[..., None] * jnp.cos(pphi + pw0l * n),
                        axis=1)

@@ -28,8 +28,11 @@ def test_voiced_kernel_matches_closed_form():
     ip = rng.uniform(0, 6, (c, 7)).astype(np.float32)
     al = rng.uniform(0, 2, (c, 7)).astype(np.float32)
     q = rng.uniform(-2e-3, 2e-3, (c, 7)).astype(np.float32)
-    op, oc, oi = pv.voiced_sums(
-        *(jnp.asarray(x) for x in (g1, p1, s1, g2, p2, s2, a0, da, ip, al, q)),
+    wp = rng.uniform(0, 1, 160).astype(np.float32)
+    wc = rng.uniform(0, 1, 160).astype(np.float32)
+    out = pv.voiced_sums(
+        *(jnp.asarray(x) for x in (g1, p1, s1, g2, p2, s2, a0, da, ip, al, q,
+                                   wp, wc)),
         interpret=True)
     n = np.arange(160)[None, None, :]
     ref_p = np.sum(g1[:, :, None] * np.cos(p1[:, :, None] + s1[:, :, None] * n),
@@ -40,10 +43,9 @@ def test_voiced_kernel_matches_closed_form():
     ref_i = np.sum((a0[:, :, None] + da[:, :, None] * n)
                    * np.cos(ip[:, :, None] + al[:, :, None] * n
                             + q[:, :, None] * n * n), axis=1)
-    scale = max(np.abs(ref_p).max(), np.abs(ref_c).max(), np.abs(ref_i).max())
-    assert np.abs(np.asarray(op) - ref_p).max() / scale < 2e-4
-    assert np.abs(np.asarray(oc) - ref_c).max() / scale < 2e-4
-    assert np.abs(np.asarray(oi) - ref_i).max() / scale < 2e-4
+    ref = wp[None, :] * ref_p + wc[None, :] * ref_c + ref_i
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(out) - ref).max() / scale < 2e-4
 
 
 def test_soft_ecc_kernel_matches_xla():

@@ -256,11 +256,8 @@ def _ambe_c0(frame, soft_rel):
         g_out, errs = ecc.golay2312_soft(f[:, 0, 1:24], soft_rel[:, 0, 1:24])
     else:
         g_out, errs = ecc.golay2312_hard(f[:, 0, 1:24])
-    bit0 = f[:, 0, 0]
-    ones = bit0 + jnp.sum(g_out, axis=-1)
-    fix = (errs == 0) & ((ones & 1) != 0)
-    bit0 = jnp.where(fix, bit0 ^ 1, bit0)
-    errs = jnp.where(fix, 1, errs)
+    bit0, errs = ambe.golay24_parity_fix(f[:, 0, 0],
+                                         jnp.sum(g_out, axis=-1), errs)
     fr0 = jnp.concatenate([bit0[:, None], g_out], axis=-1)
     out = f.at[:, 0, :].set(fr0)
     return out, errs

@@ -40,6 +40,16 @@ def _extract_bits(word, hi, lo):
 _POW2_24 = np.array([1 << i for i in range(24)], np.int32)
 
 
+def golay24_parity_fix(bit0, data_ones, errs):
+    """Golay24 even-parity fix of fr[0][0] (ambe_common.c:22-60): a clean
+    23-bit Golay decode with odd overall parity flips bit0 and counts one
+    error. Single source of the rule for the packed hard path, the
+    bit-plane soft path, and the staged API (api._ambe_c0)."""
+    ones = bit0 + data_ones
+    fix = (errs == 0) & ((ones & 1) != 0)
+    return jnp.where(fix, bit0 ^ 1, bit0), jnp.where(fix, 1, errs)
+
+
 def decode_ambe3600_frame(frame, soft_rel=None):
     """Batched mbe_decodeAmbe3600x24xxFrame common stage.
 
@@ -55,11 +65,8 @@ def decode_ambe3600_frame(frame, soft_rel=None):
 
     # C0: Golay over fr[0][1..23]; Golay24 even-parity fix of fr[0][0]
     g_out, c0_errs = ecc.golay2312_hard_packed((w[:, 0] >> 1) & 0x7FFFFF)
-    bit0 = w[:, 0] & 1
-    ones = bit0 + ecc.popcount32(g_out)
-    fix_parity = (c0_errs == 0) & ((ones & 1) != 0)
-    bit0 = jnp.where(fix_parity, bit0 ^ 1, bit0)
-    c0_errs = jnp.where(fix_parity, 1, c0_errs)
+    bit0, c0_errs = golay24_parity_fix(w[:, 0] & 1, ecc.popcount32(g_out),
+                                       c0_errs)
     fr0 = (g_out << 1) | bit0  # [C] 24-bit packed
 
     # demod C1 with keystream from C0 bits 23..12 (ambe_common.c:75-100)
@@ -82,11 +89,8 @@ def decode_ambe3600_frame(frame, soft_rel=None):
 def _decode_ambe3600_frame_soft(f, soft_rel):
     # C0: Golay over fr[0][1..23]; Golay24 even-parity fix of fr[0][0]
     g_out, c0_errs = ecc.golay2312_soft(f[:, 0, 1:24], soft_rel[:, 0, 1:24])
-    bit0 = f[:, 0, 0]
-    ones = bit0 + jnp.sum(g_out, axis=-1)
-    fix_parity = (c0_errs == 0) & ((ones & 1) != 0)
-    bit0 = jnp.where(fix_parity, bit0 ^ 1, bit0)
-    c0_errs = jnp.where(fix_parity, 1, c0_errs)
+    bit0, c0_errs = golay24_parity_fix(f[:, 0, 0], jnp.sum(g_out, axis=-1),
+                                       c0_errs)
     fr0 = jnp.concatenate([bit0[:, None], g_out], axis=-1)  # [C, 24]
 
     # demod C1 with keystream from C0 bits 23..12 (ambe_common.c:75-100)

@@ -240,6 +240,14 @@ def spectral_amp_enhance_parms(cur: state_mod.Parms):
 
 
 # --- per-codec stage functions ----------------------------------------------
+# These mirror the reference's staged mbe_ecc*/mbe_demodulate*/mbe_decode*
+# intermediate CONTRACTS: callers see the same bit-plane frame mutations the
+# C produces between stages, so they deliberately operate on [C, rows, cols]
+# bit planes rather than delegating to the packed-word kernels the fused
+# pipeline uses (models/*.decode_*_frame). The two formulations are kept
+# equivalent by tests/test_stages.py (staged chain == fused frame decode on
+# every codec, hard + soft); shared rules with subtle semantics live in one
+# place (e.g. ambe.golay24_parity_fix).
 
 def ecc_ambe3600x2450_c0(frame, soft_rel=None):
     """mbe_eccAmbe3600x2450C0 — returns (frame', c0_errors)."""

@@ -91,15 +91,68 @@ def spectral_update_m(cur_L, prev_L, prev_Ml, prev_log2Ml, Tl, *, weight,
     return cur_Ml_out, cur_log2_out, pM, pLg, cL
 
 
-def decode_minor(d, curT, prevT):
+def frame7200_minor(fT):
+    """Channel-minor decode_imbe7200_frame. fT: [8, 23, C] int32 bitplanes
+    (the transpose of the API's [C, 8, 23]). Returns (dT [88, C], c0, perrs,
+    c4). ECC kernels are shape-agnostic elementwise int math, so they are
+    shared with the production path — only the array orientation differs."""
+    from mbe_tpu.ops import demod, ecc
+    p23 = jnp.asarray(imbe._POW2_23)[None, :, None]
+    w = jnp.sum(fT * p23, axis=1)  # [8, C] packed rows
+    c0w, c0_errs = ecc.golay2312_hard_packed(w[0])
+
+    seed = 16 * (c0w >> 11)
+    # keystream words channel-minor: [total, C] bits -> [6, C] words
+    A = jnp.asarray(T.demod_prng_A[1:115]).astype(jnp.uint32)
+    B = jnp.asarray(T.demod_prng_B[1:115]).astype(jnp.uint32)
+    pr = ((A[:, None] * seed.astype(jnp.uint32)[None, :] + B[:, None])
+          >> 15).astype(jnp.int32) & 1  # [114, C]
+    widths = (23, 23, 23, 15, 15, 15)
+    W = np.zeros((sum(widths), len(widths)), np.float32)
+    k = 0
+    for r, wd in enumerate(widths):
+        for m in range(wd):
+            W[k + m, r] = float(1 << (wd - 1 - m))
+        k += wd
+    kw = jnp.matmul(jnp.asarray(W).T, pr.astype(jnp.float32),
+                    precision=HP,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    g_out, g_errs = ecc.golay2312_hard_packed(w[1:4] ^ kw[0:3])
+    h_out, h_errs = ecc.hamming1511_hard_packed((w[4:7] & 0x7FFF) ^ kw[3:6])
+    perrs = jnp.sum(g_errs, axis=0) + jnp.sum(h_errs, axis=0)
+    c4_errs = h_errs[0]
+
+    def extract(word, hi, lo):
+        shifts = jnp.arange(hi, lo - 1, -1, dtype=jnp.int32)[:, None]
+        return (word[None, :] >> shifts) & 1
+
+    dparts = [extract(c0w, 22, 11)]
+    for i in range(3):
+        dparts.append(extract(g_out[i], 22, 11))
+    for i in range(3):
+        dparts.append(extract(h_out[i], 14, 4))
+    dparts.append(extract(w[7], 6, 0))
+    dT = jnp.concatenate(dparts, axis=0)  # [88, C]
+    return dT, c0_errs, perrs, c4_errs
+
+
+def decode_minor(d, curT, prevT, dT=None):
     """Channel-minor decode_imbe4400_parms. d: [C,88] (as delivered by the
     frame stage); all 2-D inputs/outputs are [57,C]. Returns the decoded
     fields + consumable sums."""
     tb = imbe._decode_tables()
-    c = d.shape[0]
-    dT = d.astype(jnp.float32).T  # [88, C] — one boundary transpose
-
-    b0 = bit_ops.pack_msb_first(d, _B0_IDX)
+    if dT is None:
+        c = d.shape[0]
+        dT = d.astype(jnp.float32).T  # [88, C] — one boundary transpose
+        b0 = bit_ops.pack_msb_first(d, _B0_IDX)
+    else:
+        c = dT.shape[1]
+        dT = dT.astype(jnp.float32)
+        wts = jnp.asarray(
+            (1 << np.arange(len(_B0_IDX) - 1, -1, -1)).astype(np.int32))
+        b0 = jnp.sum(dT[jnp.asarray(_B0_IDX), :].astype(jnp.int32)
+                     * wts[:, None], axis=0)
     bad = (b0 > 207).astype(jnp.int32)
     b0s = jnp.clip(b0, 0, 207)
     w0 = bit_ops.lut1d(b0s, np.asarray(T.imbe_w0_by_b0, np.float32))
@@ -252,28 +305,53 @@ def to_minor(p):
 
 def check():
     c = 256
+    rng = np.random.default_rng(7)
+    f = rng.integers(0, 2, (c, 8, 23)).astype(np.int32)
+    d_maj, c0_m, pe_m, c4_m = imbe.decode_imbe7200_frame(jnp.asarray(f))
+    fT = jnp.asarray(np.ascontiguousarray(f.transpose(1, 2, 0)))
+    dT, c0_n, pe_n, c4_n = frame7200_minor(fT)
+    frame_ok = (np.array_equal(np.asarray(d_maj), np.asarray(dT).T)
+                and np.array_equal(np.asarray(c0_m), np.asarray(c0_n))
+                and np.array_equal(np.asarray(pe_m), np.asarray(pe_n))
+                and np.array_equal(np.asarray(c4_m), np.asarray(c4_n)))
+    print("frame stage:", "BIT-EXACT" if frame_ok else "FAILED")
+
     d, cur, prev = make_inputs(c)
     cp, pp = to_parms(cur, c), to_parms(prev, c)
     cur_o, prev_o, bad = imbe.decode_imbe4400_parms(jnp.asarray(d), cp, pp)
     r = decode_minor(jnp.asarray(d), to_minor(cur), to_minor(prev))
-    checks = [
+    # exact: every field whose math has no cross-axis reduction. tolerance:
+    # Ml/log2Ml go through ssum (a 57-wide reduce whose order differs
+    # between lane- and sublane-axis reductions) — same math, different
+    # rounding, bounded at ~2e-6 in the log2 domain (~120 dB).
+    exact = [
         ("w0", cur_o.w0, r["w0"]), ("L", cur_o.L, r["L"]),
         ("K", cur_o.K, r["K"]), ("Vl", cur_o.Vl, r["Vl"].T),
-        ("Ml", cur_o.Ml, r["Ml"].T), ("log2Ml", cur_o.log2Ml, r["log2Ml"].T),
+        ("bad", bad, r["bad"]),
         ("prev_Ml", prev_o.Ml, r["prev_Ml"].T),
         ("prev_log2Ml", prev_o.log2Ml, r["prev_log2Ml"].T),
-        ("bad", bad, r["bad"]),
+    ]
+    close = [
+        ("Ml", cur_o.Ml, r["Ml"].T, 1e-5),
+        ("log2Ml", cur_o.log2Ml, r["log2Ml"].T, 1e-5),
     ]
     ok = True
-    for name, a, b in checks:
+    for name, a, b in exact:
         a, b = np.asarray(a), np.asarray(b)
         if not np.array_equal(a, b):
             nd = int((a != b).sum())
             print(f"MISMATCH {name}: {nd}/{a.size} differ, "
                   f"max abs {np.abs(a.astype(np.float64)-b.astype(np.float64)).max():.3e}")
             ok = False
+    for name, a, b, tol in close:
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        # rel for the linear-domain Ml, abs for log2Ml (crosses zero)
+        err = np.abs(a - b) / np.maximum(np.abs(a), 1.0)
+        if err.max() > tol:
+            print(f"MISMATCH {name}: max err {err.max():.3e} > {tol}")
+            ok = False
     print("check:", "BIT-EXACT" if ok else "FAILED")
-    return ok
+    return ok and frame_ok
 
 
 def ab(c, steps):
@@ -281,6 +359,10 @@ def ab(c, steps):
     cp, pp = to_parms(cur, c), to_parms(prev, c)
     curm, prevm = to_minor(cur), to_minor(prev)
     dj = jnp.asarray(d)
+    rng = np.random.default_rng(7)
+    f = rng.integers(0, 2, (c, 8, 23)).astype(np.int32)
+    fj = jnp.asarray(f)
+    fTj = jnp.asarray(np.ascontiguousarray(f.transpose(1, 2, 0)))
     xs = jnp.arange(1, steps + 1, dtype=jnp.int32)
 
     @jax.jit
@@ -299,6 +381,22 @@ def ab(c, steps):
                 + jnp.sum(r["Vl"]) + jnp.sum(r["bad"]), 0
         return jax.lax.scan(body, jnp.float32(0), xs)[0]
 
+    @jax.jit
+    def frame_major(fj):
+        def body(acc, x):
+            dd, c0, pe, c4 = imbe.decode_imbe7200_frame(fj ^ (x & 1))
+            return acc + jnp.sum(dd) + jnp.sum(c0) + jnp.sum(pe) \
+                + jnp.sum(c4), 0
+        return jax.lax.scan(body, jnp.int32(0), xs)[0]
+
+    @jax.jit
+    def frame_minor(fTj):
+        def body(acc, x):
+            dT, c0, pe, c4 = frame7200_minor(fTj ^ (x & 1))
+            return acc + jnp.sum(dT) + jnp.sum(c0) + jnp.sum(pe) \
+                + jnp.sum(c4), 0
+        return jax.lax.scan(body, jnp.int32(0), xs)[0]
+
     def t(f, *a):
         jax.block_until_ready(f(*a))
         best = np.inf
@@ -310,8 +408,12 @@ def ab(c, steps):
 
     tm = t(run_major, dj, cp, pp)
     tn = t(run_minor, dj, curm, prevm)
-    print(f"C={c} major {tm*1e3:.3f} ms  minor {tn*1e3:.3f} ms  "
-          f"ratio {tm/tn:.3f}x", flush=True)
+    print(f"C={c} param_decode major {tm*1e3:.3f} ms  minor {tn*1e3:.3f} ms"
+          f"  ratio {tm/tn:.3f}x", flush=True)
+    tfm = t(frame_major, fj)
+    tfn = t(frame_minor, fTj)
+    print(f"C={c} frame_ecc    major {tfm*1e3:.3f} ms  minor {tfn*1e3:.3f} ms"
+          f"  ratio {tfm/tfn:.3f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -160,7 +160,7 @@ def synthesize_silence(channels):
 def synthesize_comfort_noisef(st: state_mod.ChannelState):
     """mbe_synthesizeComfortNoisef — returns (samples [C,160], state')."""
     samples, rng = noise.comfort_noise(st.comfort_rng)
-    return samples, dataclasses.replace(st, comfort_rng=rng)
+    return samples.T, dataclasses.replace(st, comfort_rng=rng)
 
 
 def synthesize_comfort_noise(st: state_mod.ChannelState):
@@ -174,10 +174,10 @@ def synthesize_speechf(st: state_mod.ChannelState):
     cn, new_rng = noise.comfort_noise(st.comfort_rng)
     audio, cur, prev, aux = speech.synthesize_speech_core(
         st.cur, st.prev, cn, st.lcg_prime, rm0)
-    rng = jnp.where(aux["mute"][:, None], new_rng, st.comfort_rng)
+    rng = jnp.where(aux["mute"][None, :], new_rng, st.comfort_rng)
     lcgp = jnp.where(aux["cold_consumed"], jnp.float32(3147.0), st.lcg_prime)
-    return audio, dataclasses.replace(st, cur=cur, prev=prev,
-                                      comfort_rng=rng, lcg_prime=lcgp)
+    return audio.T, dataclasses.replace(st, cur=cur, prev=prev,
+                                        comfort_rng=rng, lcg_prime=lcgp)
 
 
 def synthesize_speech(st: state_mod.ChannelState):
@@ -186,12 +186,13 @@ def synthesize_speech(st: state_mod.ChannelState):
 
 
 def synthesize_tonef(ambe_d, st: state_mod.ChannelState):
-    """mbe_synthesizeTonef (mbelib.c:745-804): returns (audio, state')."""
-    ad, id1 = synth_ops.parse_tone_fields(jnp.asarray(ambe_d, jnp.int32))
+    """mbe_synthesizeTonef (mbelib.c:745-804): returns (audio, state').
+    ambe_d follows the public [C, 49] contract."""
+    ad, id1 = synth_ops.parse_tone_fields(jnp.asarray(ambe_d, jnp.int32).T)
     audio, swn, tp = synth_ops.render_tone(id1, ad, st.cur.swn,
                                            st.cur.tonePhase)
     cur = dataclasses.replace(st.cur, swn=swn, tonePhase=tp)
-    return audio, dataclasses.replace(st, cur=cur)
+    return audio.T, dataclasses.replace(st, cur=cur)
 
 
 def synthesize_tonef_dstar(st: state_mod.ChannelState, id1):
@@ -202,7 +203,7 @@ def synthesize_tonef_dstar(st: state_mod.ChannelState, id1):
     audio, swn, tp = synth_ops.render_tone(
         tid, jnp.full_like(id1, 103), st.cur.swn, st.cur.tonePhase)
     cur = dataclasses.replace(st.cur, swn=swn, tonePhase=tp)
-    return audio, dataclasses.replace(st, cur=cur)
+    return audio.T, dataclasses.replace(st, cur=cur)
 
 
 float_to_short = synth_ops.float_to_short
@@ -275,7 +276,8 @@ def decode_ambe3600x2450_frame(frame, soft_rel=None):
     """mbe_decodeAmbe3600x2450[Soft]Frame: (ambe_d, result dict)."""
     d, c0, prot = ambe.decode_ambe3600_frame(jnp.asarray(frame, jnp.int32),
                                              soft_rel)
-    return d, _mk_result(c0, prot, None, soft_rel is not None, c4_valid=False)
+    return d.T, _mk_result(c0, prot, None, soft_rel is not None,
+                           c4_valid=False)
 
 
 decode_ambe3600x2400_frame = decode_ambe3600x2450_frame  # same common stage
@@ -284,22 +286,24 @@ decode_ambe3600x2400_frame = decode_ambe3600x2450_frame  # same common stage
 def decode_imbe7200x4400_frame(frame, soft_rel=None):
     d, c0, prot, c4 = imbe.decode_imbe7200_frame(
         jnp.asarray(frame, jnp.int32), soft_rel)
-    return d, _mk_result(c0, prot, c4, soft_rel is not None, c4_valid=True)
+    return d.T, _mk_result(c0, prot, c4, soft_rel is not None, c4_valid=True)
 
 
 def decode_imbe7100x4400_frame(frame, soft_rel=None):
     d, c0, prot, c4 = imbe.decode_imbe7100_frame(
         jnp.asarray(frame, jnp.int32), soft_rel)
-    return d, _mk_result(c0, prot, c4, soft_rel is not None, c4_valid=True)
+    return d.T, _mk_result(c0, prot, c4, soft_rel is not None, c4_valid=True)
 
 
-convert_imbe7100to7200 = imbe.convert_7100_to_7200
+def convert_imbe7100to7200(imbe_d):
+    """mbe_convertImbe7100to7200 over the public [C, 88] layout."""
+    return imbe.convert_7100_to_7200(jnp.asarray(imbe_d, jnp.int32).T).T
 
 
 def decode_imbe4400_parms(imbe_d, st: state_mod.ChannelState):
     """mbe_decodeImbe4400Parms: returns (state', bad [C])."""
     cur, prev, bad = imbe.decode_imbe4400_parms(
-        jnp.asarray(imbe_d, jnp.int32), st.cur, st.prev)
+        jnp.asarray(imbe_d, jnp.int32).T, st.cur, st.prev)
     return dataclasses.replace(st, cur=cur, prev=prev), bad
 
 
@@ -309,13 +313,13 @@ def decode_ambe2450_parms(ambe_d, st: state_mod.ChannelState,
     te = (jnp.full((c,), -1, jnp.int32) if total_errors is None
           else jnp.asarray(total_errors, jnp.int32))
     cur, prev, bad = ambe.decode_ambe2450_parms(
-        jnp.asarray(ambe_d, jnp.int32), st.cur, st.prev, te)
+        jnp.asarray(ambe_d, jnp.int32).T, st.cur, st.prev, te)
     return dataclasses.replace(st, cur=cur, prev=prev), bad
 
 
 def decode_ambe2400_parms(ambe_d, st: state_mod.ChannelState):
     cur, prev, bad = ambe.decode_ambe2400_parms(
-        jnp.asarray(ambe_d, jnp.int32), st.cur, st.prev)
+        jnp.asarray(ambe_d, jnp.int32).T, st.cur, st.prev)
     return dataclasses.replace(st, cur=cur, prev=prev), bad
 
 
@@ -405,7 +409,7 @@ def _process_data(process_fn, d, total_errors, c0_errors, c0_valid,
     # total. Mirrors ambe2450_prepare_process's mbe_validate_bits.
     d = jnp.asarray(d, jnp.int32)
     lanes_valid = bit_ops.bits_valid(d)
-    d = d & 1
+    d = (d & 1).T  # channel-minor for the internal process paths
     enh_in = st.enh if st.enh is not None else st.cur
     if imbe_path:
         c4 = jnp.asarray(c4_errors, jnp.int32)
@@ -427,11 +431,11 @@ def _process_data(process_fn, d, total_errors, c0_errors, c0_valid,
                                     comfort_rng=rng, lcg_prime=lcgp)
 
     def lane_sel(new, old):
-        v = lanes_valid.reshape((-1,) + (1,) * (new.ndim - 1))
+        v = lanes_valid.reshape((1,) * (new.ndim - 1) + (-1,))
         return jnp.where(v, new, old)
 
     new_st = jax.tree.map(lane_sel, new_st, st)
-    audio = jnp.where(lanes_valid[:, None], audio, 0.0)
+    audio = jnp.where(lanes_valid[None, :], audio, 0.0).T
     fsm = {k: jnp.where(lanes_valid, v, jnp.zeros_like(v))
            for k, v in fsm.items()}
     fsm["status"] = jnp.where(lanes_valid, 0, STATUS_INVALID_BITS
@@ -612,7 +616,7 @@ def _ambe_demod(frame):
     f = jnp.asarray(frame, jnp.int32)
     seed = 16 * bit_ops.pack_descending(f[:, 0, :], 23, 12)
     from .ops import demod as demod_ops
-    pr = demod_ops.prng_bits(seed, 23)
+    pr = demod_ops.prng_bits(seed, 23).T
     fr1 = f[:, 1, :23] ^ pr[:, ::-1]
     return f.at[:, 1, :23].set(fr1)
 
@@ -655,7 +659,7 @@ def demodulate_imbe7200x4400_data(frame):
     from .ops import demod as demod_ops
     f = jnp.asarray(frame, jnp.int32)
     seed = 16 * bit_ops.pack_descending(f[:, 0, :], 22, 11)
-    pr = demod_ops.prng_bits(seed, 114)
+    pr = demod_ops.prng_bits(seed, 114).T
     k = 0
     for i in range(1, 4):
         f = f.at[:, i, :].set(f[:, i, :] ^ pr[:, k:k + 23][:, ::-1])
@@ -714,7 +718,7 @@ def demodulate_imbe7100x4400_data(frame):
     from .ops import demod as demod_ops
     f = jnp.asarray(frame, jnp.int32)
     seed = 16 * bit_ops.pack_descending(f[:, 0, :], 18, 12)
-    pr = demod_ops.prng_bits(seed, 100)
+    pr = demod_ops.prng_bits(seed, 100).T
     f = f.at[:, 1, :].set(f[:, 1, :] ^ pr[:, 0:24][:, ::-1])
     k = 24
     for i in range(2, 4):

@@ -32,9 +32,10 @@ _RCONST = np.float32(1.0 / (2.0 * np.sqrt(2.0)))
 # ---------------------------------------------------------------------------
 
 def _extract_bits(word, hi, lo):
-    """[..., hi-lo+1] bits of a packed word, MSB (bit `hi`) first."""
-    shifts = jnp.arange(hi, lo - 1, -1, dtype=jnp.int32)
-    return (word[..., None] >> shifts) & 1
+    """[hi-lo+1, C] bits of a packed word [C], MSB (bit `hi`) first
+    (channel-minor: bit index on the leading axis)."""
+    shifts = jnp.arange(hi, lo - 1, -1, dtype=jnp.int32)[:, None]
+    return (word[None, :] >> shifts) & 1
 
 
 _POW2_24 = np.array([1 << i for i in range(24)], np.int32)
@@ -54,25 +55,26 @@ def decode_ambe3600_frame(frame, soft_rel=None):
     """Batched mbe_decodeAmbe3600x24xxFrame common stage.
 
     Args: frame [C, 4, 24] int32 (+ soft_rel for the soft path).
-    Returns: (ambe_d [C, 49], c0_errors [C], protected_errors [C]).
-    Hard path is packed-word end-to-end (see imbe.decode_imbe7200_frame).
+    Returns: (ambe_d [49, C] channel-minor, c0_errors [C],
+    protected_errors [C]). Hard path is packed-word channel-minor
+    end-to-end (see imbe.decode_imbe7200_frame).
     """
     f = frame.astype(jnp.int32)
     if soft_rel is not None:
         return _decode_ambe3600_frame_soft(f, soft_rel)
 
-    w = jnp.sum(f * jnp.asarray(_POW2_24), axis=-1)  # [C, 4] packed rows
+    w = jnp.sum(f * jnp.asarray(_POW2_24), axis=-1).T  # [4, C] packed rows
 
     # C0: Golay over fr[0][1..23]; Golay24 even-parity fix of fr[0][0]
-    g_out, c0_errs = ecc.golay2312_hard_packed((w[:, 0] >> 1) & 0x7FFFFF)
-    bit0, c0_errs = golay24_parity_fix(w[:, 0] & 1, ecc.popcount32(g_out),
+    g_out, c0_errs = ecc.golay2312_hard_packed((w[0] >> 1) & 0x7FFFFF)
+    bit0, c0_errs = golay24_parity_fix(w[0] & 1, ecc.popcount32(g_out),
                                        c0_errs)
     fr0 = (g_out << 1) | bit0  # [C] 24-bit packed
 
     # demod C1 with keystream from C0 bits 23..12 (ambe_common.c:75-100)
     seed = 16 * ((fr0 >> 12) & 0xFFF)
-    kw = demod.prng_keywords(seed, (23,))[:, 0]
-    fr1 = (w[:, 1] & 0x7FFFFF) ^ kw
+    kw = demod.prng_keywords(seed, (23,))[0]
+    fr1 = (w[1] & 0x7FFFFF) ^ kw
 
     # data ECC + 49-bit packing (ambe_common.c:127-157)
     g1_out, perrs = ecc.golay2312_hard_packed(fr1)
@@ -80,9 +82,9 @@ def decode_ambe3600_frame(frame, soft_rel=None):
     ambe_d = jnp.concatenate([
         _extract_bits(fr0, 23, 12),      # C0 bits 23..12 (12)
         _extract_bits(g1_out, 22, 11),   # C1 data bits 22..11 (12)
-        _extract_bits(w[:, 2], 10, 0),   # C2 bits 10..0 (11)
-        _extract_bits(w[:, 3], 13, 0),   # C3 bits 13..0 (14)
-    ], axis=-1)
+        _extract_bits(w[2], 10, 0),      # C2 bits 10..0 (11)
+        _extract_bits(w[3], 13, 0),      # C3 bits 13..0 (14)
+    ], axis=0)                           # [49, C]
     return ambe_d, c0_errs, perrs
 
 
@@ -95,18 +97,19 @@ def _decode_ambe3600_frame_soft(f, soft_rel):
 
     # demod C1 with keystream from C0 bits 23..12 (ambe_common.c:75-100)
     seed = 16 * bit_ops.pack_descending(fr0, 23, 12)
-    pr = demod.prng_bits(seed, 23)
+    pr = demod.prng_bits(seed, 23).T  # [C, 23] (soft path is major)
     fr1 = f[:, 1, :23] ^ pr[:, ::-1]  # applied j=22..0
 
     # data ECC + 49-bit packing (ambe_common.c:127-157)
     g1_out, perrs = ecc.golay2312_soft(fr1, soft_rel[:, 1, :23])
 
+    # soft path stays bit-plane channel-major; one transpose at the exit
     ambe_d = jnp.concatenate([
         fr0[:, 23:11:-1],        # C0 bits 23..12 (12)
         g1_out[:, 22:10:-1],     # C1 data bits 22..11 (12)
         f[:, 2, 10::-1],         # C2 bits 10..0 (11)
         f[:, 3, 13::-1],         # C3 bits 13..0 (14)
-    ], axis=-1)
+    ], axis=-1).T                # [49, C]
     return ambe_d, c0_errs, perrs
 
 
@@ -166,28 +169,30 @@ def _ri_matrix():
 
 
 def _onehot_rows(idx, table):
-    """Gather-as-matmul: rows of `table` [G, ...] selected by idx [C]."""
+    """Gather-as-matmul: rows of `table` [G, ...] selected by idx [C].
+    Channel-minor: returns [...row shape, C]."""
     table = np.asarray(table, np.float32)
     g = table.shape[0]
-    onehot = jax.nn.one_hot(idx, g, dtype=jnp.float32)
-    flat = jnp.matmul(onehot, jnp.asarray(table.reshape(g, -1)),
+    onehot = (idx[None, :] == jnp.arange(g, dtype=jnp.int32)[:, None]
+              ).astype(jnp.float32)  # [G, C]
+    flat = jnp.matmul(jnp.asarray(table.reshape(g, -1)).T, onehot,
                       precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
-    return flat.reshape((idx.shape[0],) + table.shape[1:])
+    return flat.reshape(table.shape[1:] + (idx.shape[0],))
 
 
 def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
     """Ri IDCT + Cik assembly + per-block IDCT, batched.
 
-    Gm: [C, 8] (Gm[0] must be 0). Returns Tl [C, 57]. All table lookups run
+    Gm: [8, C] (Gm[0] must be 0). Returns Tl [57, C]. All table lookups run
     as one-hot MXU matmuls (TPU gathers are slow).
     """
     hp = jax.lax.Precision.HIGHEST
-    Ri = jnp.matmul(Gm, jnp.asarray(_ri_matrix()), precision=hp,
-                    preferred_element_type=jnp.float32)  # [C, 8]
+    Ri = jnp.matmul(jnp.asarray(_ri_matrix()).T, Gm, precision=hp,
+                    preferred_element_type=jnp.float32)  # [8, C]
 
-    ra = Ri[:, 0::2]  # Ri[1,3,5,7] -> [C,4]
-    rb = Ri[:, 1::2]  # Ri[2,4,6,8]
+    ra = Ri[0::2]  # Ri[1,3,5,7] -> [4,C]
+    rb = Ri[1::2]  # Ri[2,4,6,8]
     c1 = jnp.float32(0.5) * (ra + rb)
     c2 = _RCONST * (ra - rb)
 
@@ -201,25 +206,28 @@ def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
         hoc6 = _onehot_rows(b6, T.AmbeHOCb6)
         hoc7 = _onehot_rows(b7, T.AmbeHOCb7)
         hoc8 = _onehot_rows(b8, T.AmbeHOCb8)
-    hoc = jnp.stack([hoc5, hoc6, hoc7, hoc8], axis=1)  # [C, 4, 4] (k=3..6)
+    hoc = jnp.stack([hoc5, hoc6, hoc7, hoc8], axis=0)  # [4, 4, C] (k=3..6)
 
-    cik = jnp.concatenate([c1[..., None], c2[..., None], hoc], axis=-1)  # [C,4,6]
-    c = cik.shape[0]
+    cik = jnp.concatenate([c1[:, None, :], c2[:, None, :], hoc],
+                          axis=1)  # [4, 6, C]
+    c = cik.shape[-1]
     M, off, jsel_tab, scl_tab = _tl_factored(plus)
     Ls = jnp.clip(L, 0, 56)
-    U = jnp.matmul(cik.reshape(c * 4, 6), jnp.asarray(M), precision=hp,
-                   preferred_element_type=jnp.float32).reshape(c, 4, -1)
-    jsel = _onehot_rows(Ls, jsel_tab)  # [C, 4] actual block sizes
-    usel = jnp.zeros((c, 4, 17), jnp.float32)
+    # U[i, m, c] = sum_k cik[i, k, c] * M[k, m] — einsum in true matmul
+    # form (no materialized one-hot operands)
+    U = jnp.einsum("ikc,km->imc", cik, jnp.asarray(M), precision=hp,
+                   preferred_element_type=jnp.float32)  # [4, 153, C]
+    jsel = _onehot_rows(Ls, jsel_tab)  # [4, C] actual block sizes
+    usel = jnp.zeros((4, 17, c), jnp.float32)
     for ji in range(1, 18):
-        sl = jnp.pad(U[:, :, int(off[ji]):int(off[ji]) + ji],
-                     ((0, 0), (0, 0), (0, 17 - ji)))
-        usel = usel + jnp.where(jsel[:, :, None] == jnp.float32(ji), sl, 0.0)
-    slots = usel.reshape(c, 68)
-    sclsel = _onehot_rows(Ls, scl_tab)  # [C, 57]
-    Tl = jnp.zeros((c, 57), jnp.float32)
+        sl = jnp.pad(U[:, int(off[ji]):int(off[ji]) + ji, :],
+                     ((0, 0), (0, 17 - ji), (0, 0)))
+        usel = usel + jnp.where(jsel[:, None, :] == jnp.float32(ji), sl, 0.0)
+    slots = usel.reshape(68, c)
+    sclsel = _onehot_rows(Ls, scl_tab)  # [57, C]
+    Tl = jnp.zeros((57, c), jnp.float32)
     for s in range(68):  # each band reads exactly one slot: select chain
-        Tl = jnp.where(sclsel == jnp.float32(s), slots[:, s:s + 1], Tl)
+        Tl = jnp.where(sclsel == jnp.float32(s), slots[s:s + 1, :], Tl)
     return Tl
 
 
@@ -228,20 +236,25 @@ def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
 # ---------------------------------------------------------------------------
 
 def tone_verified_2450(ambe_d):
-    """JMBE tone classification checks (ambe3600x2450.c:474-491)."""
+    """JMBE tone classification checks (ambe3600x2450.c:474-491).
+    ambe_d: [49, C] channel-minor."""
     d = ambe_d.astype(jnp.int32)
-    w12 = jnp.asarray(1 << np.arange(11, -1, -1, dtype=np.int64), jnp.int32)
-    u0 = jnp.sum(d[:, 0:12] * w12, axis=-1)
-    u1 = jnp.sum(d[:, 12:24] * w12, axis=-1)
-    w14 = jnp.asarray(1 << np.arange(13, -1, -1, dtype=np.int64), jnp.int32)
-    u3 = jnp.sum(d[:, 35:49] * w14, axis=-1)
+    w12 = jnp.asarray(1 << np.arange(11, -1, -1, dtype=np.int64),
+                      jnp.int32)[:, None]
+    u0 = jnp.sum(d[0:12, :] * w12, axis=0)
+    u1 = jnp.sum(d[12:24, :] * w12, axis=0)
+    w14 = jnp.asarray(1 << np.arange(13, -1, -1, dtype=np.int64),
+                      jnp.int32)[:, None]
+    u3 = jnp.sum(d[35:49, :] * w14, axis=0)
     return ((u0 >> 6) & 0x3F) == 63, (u3 & 0xF) == 0, \
         ((u1 >> 8) & 0xF) == (u1 & 0xF)
 
 
 def tone_id_2450(ambe_d):
     """ID1 = ambe_d bits 12..19 MSB-first (ambe3600x2450.c:80-89)."""
-    return bit_ops.pack_msb_first(ambe_d, np.arange(12, 20, dtype=np.int32))
+    d = ambe_d.astype(jnp.int32)
+    wts = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.int32))[:, None]
+    return jnp.sum(d[12:20, :] * wts, axis=0)
 
 
 def decode_ambe2450_parms(ambe_d, cur: Parms, prev: Parms, total_errors):
@@ -256,8 +269,9 @@ def decode_ambe2450_parms(ambe_d, cur: Parms, prev: Parms, total_errors):
     gate = (total_errors < 6) | (total_errors < 0)
     tone = t0 & (t3 | t1) & gate
 
-    b0 = bit_ops.pack_msb_first(
-        d, np.array([0, 1, 2, 3, 37, 38, 39], np.int32))
+    b0idx = jnp.asarray(np.array([0, 1, 2, 3, 37, 38, 39], np.int32))
+    b0w = jnp.asarray((1 << np.arange(6, -1, -1)).astype(np.int32))[:, None]
+    b0 = jnp.sum(d[b0idx, :] * b0w, axis=0)
     sil = ~tone & ((b0 == 124) | (b0 == 125))
     era = ~tone & ~sil & (b0 >= 120)
     voice = ~tone & ~sil & ~era
@@ -279,42 +293,42 @@ def decode_ambe2450_parms(ambe_d, cur: Parms, prev: Parms, total_errors):
     unvc = jnp.float32(0.2046) / jnp.sqrt(w0)
 
     # V/UV (ambe3600x2450.c:197-219); silence zeroes Vl[1..L] instead
-    b1 = ((d[:, 4] << 4) | (d[:, 5] << 3) | (d[:, 6] << 2) | (d[:, 7] << 1)
-          | d[:, 35])
-    lf = jnp.arange(57, dtype=jnp.float32)[None, :]
-    li = jnp.arange(57, dtype=jnp.int32)[None, :]
-    jl = (lf * jnp.float32(16.0) * f0[:, None]).astype(jnp.int32)
+    b1 = ((d[4] << 4) | (d[5] << 3) | (d[6] << 2) | (d[7] << 1)
+          | d[35])
+    lf = jnp.arange(57, dtype=jnp.float32)[:, None]
+    li = jnp.arange(57, dtype=jnp.int32)[:, None]
+    jl = (lf * jnp.float32(16.0) * f0[None, :]).astype(jnp.int32)
     jl = jnp.clip(jl, 0, 7)
-    vrow = _onehot_rows(b1, T.AmbeVuv)  # [C, 8]
+    vrow = _onehot_rows(b1, T.AmbeVuv)  # [8, C]
     v_tab = jnp.sum(
-        jnp.where(jl[:, :, None] == jnp.arange(8)[None, None, :],
-                  vrow[:, None, :], 0.0), axis=-1).astype(jnp.int32)
-    in_band = (li >= 1) & (li <= L[:, None])
-    Vl = jnp.where(in_band & sil[:, None], 0,
-                   jnp.where(in_band & ~sil[:, None], v_tab, cur.Vl))
+        jnp.where(jl[None, :, :] == jnp.arange(8)[:, None, None],
+                  vrow[:, None, :], 0.0), axis=0).astype(jnp.int32)
+    in_band = (li >= 1) & (li <= L[None, :])
+    Vl = jnp.where(in_band & sil[None, :], 0,
+                   jnp.where(in_band & ~sil[None, :], v_tab, cur.Vl))
 
     # gain (ambe3600x2450.c:598-607)
-    b2 = ((d[:, 8] << 4) | (d[:, 9] << 3) | (d[:, 10] << 2) | (d[:, 11] << 1)
-          | d[:, 36])
+    b2 = ((d[8] << 4) | (d[9] << 3) | (d[10] << 2) | (d[11] << 1)
+          | d[36])
     gamma = (bit_ops.lut1d(b2, np.asarray(T.AmbeDg, np.float32))
              + jnp.float32(0.5) * prev.gamma)
 
     # PRBA (ambe3600x2450.c:221-273)
-    b3 = ((d[:, 12] << 8) | (d[:, 13] << 7) | (d[:, 14] << 6) | (d[:, 15] << 5)
-          | (d[:, 16] << 4) | (d[:, 17] << 3) | (d[:, 18] << 2)
-          | (d[:, 19] << 1) | d[:, 40])
-    b4 = ((d[:, 20] << 6) | (d[:, 21] << 5) | (d[:, 22] << 4) | (d[:, 23] << 3)
-          | (d[:, 41] << 2) | (d[:, 42] << 1) | d[:, 43])
-    gm24 = _onehot_rows(b3, T.AmbePRBA24)  # [C, 3]
-    gm58 = _onehot_rows(b4, T.AmbePRBA58)  # [C, 4]
+    b3 = ((d[12] << 8) | (d[13] << 7) | (d[14] << 6) | (d[15] << 5)
+          | (d[16] << 4) | (d[17] << 3) | (d[18] << 2)
+          | (d[19] << 1) | d[40])
+    b4 = ((d[20] << 6) | (d[21] << 5) | (d[22] << 4) | (d[23] << 3)
+          | (d[41] << 2) | (d[42] << 1) | d[43])
+    gm24 = _onehot_rows(b3, T.AmbePRBA24)  # [3, C]
+    gm58 = _onehot_rows(b4, T.AmbePRBA58)  # [4, C]
     Gm = jnp.concatenate(
-        [jnp.zeros_like(gamma)[:, None], gm24, gm58], axis=-1)  # [C, 8]
+        [jnp.zeros_like(gamma)[None, :], gm24, gm58], axis=0)  # [8, C]
 
-    b5 = ((d[:, 24] << 4) | (d[:, 25] << 3) | (d[:, 26] << 2) | (d[:, 27] << 1)
-          | d[:, 44])
-    b6 = (d[:, 28] << 3) | (d[:, 29] << 2) | (d[:, 30] << 1) | d[:, 45]
-    b7 = (d[:, 31] << 3) | (d[:, 32] << 2) | (d[:, 33] << 1) | d[:, 46]
-    b8 = (d[:, 34] << 2) | (d[:, 47] << 1) | d[:, 48]
+    b5 = ((d[24] << 4) | (d[25] << 3) | (d[26] << 2) | (d[27] << 1)
+          | d[44])
+    b6 = (d[28] << 3) | (d[29] << 2) | (d[30] << 1) | d[45]
+    b7 = (d[31] << 3) | (d[32] << 2) | (d[33] << 1) | d[46]
+    b8 = (d[34] << 2) | (d[47] << 1) | d[48]
     Tl = _tl_from_codes(L, Gm, b5, b6, b7, b8, plus=False)
 
     Ml_n, log2_n, pM, pLg, cL = spectral.spectral_update(
@@ -323,7 +337,7 @@ def decode_ambe2450_parms(ambe_d, cur: Parms, prev: Parms, total_errors):
         cur_Ml=cur.Ml, cur_log2Ml=cur.log2Ml)
 
     ok = voice | sil
-    okc = ok[:, None]
+    okc = ok[None, :]
     cur_out = dataclasses.replace(
         cur,
         w0=jnp.where(ok, w0, cur.w0),
@@ -351,8 +365,9 @@ def decode_ambe2400_parms(ambe_d, cur: Parms, prev: Parms):
     """
     d = ambe_d.astype(jnp.int32)
 
-    b0 = bit_ops.pack_msb_first(
-        d, np.array([0, 1, 2, 3, 4, 5, 48], np.int32))
+    b0idx = jnp.asarray(np.array([0, 1, 2, 3, 4, 5, 48], np.int32))
+    b0w = jnp.asarray((1 << np.arange(6, -1, -1)).astype(np.int32))[:, None]
+    b0 = jnp.sum(d[b0idx, :] * b0w, axis=0)
     tone_b0 = (b0 & 0x7E) == 0x7E
     tone_index = synth_ops.dstar_tone_id(d)
     single_tone = tone_b0 & (tone_index >= 5) & (tone_index <= 122)
@@ -372,37 +387,38 @@ def decode_ambe2400_parms(ambe_d, cur: Parms, prev: Parms):
     unvc = jnp.float32(0.2046) / jnp.sqrt(w0)
 
     # V/UV (ambe3600x2400.c:244-263); silence zeroes Vl[1..14]
-    b1 = (d[:, 38] << 3) | (d[:, 39] << 2) | (d[:, 40] << 1) | d[:, 41]
-    lf = jnp.arange(57, dtype=jnp.float32)[None, :]
-    li = jnp.arange(57, dtype=jnp.int32)[None, :]
-    jl = jnp.clip((lf * jnp.float32(16.0) * f0[:, None]).astype(jnp.int32), 0, 7)
-    vrow = _onehot_rows(b1, T.AmbePlusVuv)  # [C, 8]
+    b1 = (d[38] << 3) | (d[39] << 2) | (d[40] << 1) | d[41]
+    lf = jnp.arange(57, dtype=jnp.float32)[:, None]
+    li = jnp.arange(57, dtype=jnp.int32)[:, None]
+    jl = jnp.clip((lf * jnp.float32(16.0) * f0[None, :]).astype(jnp.int32),
+                  0, 7)
+    vrow = _onehot_rows(b1, T.AmbePlusVuv)  # [8, C]
     v_tab = jnp.sum(
-        jnp.where(jl[:, :, None] == jnp.arange(8)[None, None, :],
-                  vrow[:, None, :], 0.0), axis=-1).astype(jnp.int32)
-    in_band = (li >= 1) & (li <= L[:, None])
-    Vl = jnp.where(in_band & silence[:, None], 0,
-                   jnp.where(in_band & voice[:, None], v_tab, cur.Vl))
+        jnp.where(jl[None, :, :] == jnp.arange(8)[:, None, None],
+                  vrow[:, None, :], 0.0), axis=0).astype(jnp.int32)
+    in_band = (li >= 1) & (li <= L[None, :])
+    Vl = jnp.where(in_band & silence[None, :], 0,
+                   jnp.where(in_band & voice[None, :], v_tab, cur.Vl))
 
-    b2 = ((d[:, 6] << 5) | (d[:, 7] << 4) | (d[:, 8] << 3) | (d[:, 9] << 2)
-          | (d[:, 42] << 1) | d[:, 43])
+    b2 = ((d[6] << 5) | (d[7] << 4) | (d[8] << 3) | (d[9] << 2)
+          | (d[42] << 1) | d[43])
     gamma = (bit_ops.lut1d(b2, np.asarray(T.AmbePlusDg, np.float32))
              + jnp.float32(0.5) * prev.gamma)
 
-    b3 = ((d[:, 10] << 8) | (d[:, 11] << 7) | (d[:, 12] << 6) | (d[:, 13] << 5)
-          | (d[:, 14] << 4) | (d[:, 15] << 3) | (d[:, 16] << 2)
-          | (d[:, 44] << 1) | d[:, 45])
-    b4 = ((d[:, 17] << 6) | (d[:, 18] << 5) | (d[:, 19] << 4) | (d[:, 20] << 3)
-          | (d[:, 21] << 2) | (d[:, 46] << 1) | d[:, 47])
+    b3 = ((d[10] << 8) | (d[11] << 7) | (d[12] << 6) | (d[13] << 5)
+          | (d[14] << 4) | (d[15] << 3) | (d[16] << 2)
+          | (d[44] << 1) | d[45])
+    b4 = ((d[17] << 6) | (d[18] << 5) | (d[19] << 4) | (d[20] << 3)
+          | (d[21] << 2) | (d[46] << 1) | d[47])
     gm24 = _onehot_rows(b3, T.AmbePlusPRBA24)
     gm58 = _onehot_rows(b4, T.AmbePlusPRBA58)
     Gm = jnp.concatenate(
-        [jnp.zeros_like(gamma)[:, None], gm24, gm58], axis=-1)
+        [jnp.zeros_like(gamma)[None, :], gm24, gm58], axis=0)
 
-    b5 = (d[:, 22] << 3) | (d[:, 23] << 2) | (d[:, 25] << 1) | d[:, 26]
-    b6 = (d[:, 27] << 3) | (d[:, 28] << 2) | (d[:, 29] << 1) | d[:, 30]
-    b7 = (d[:, 31] << 3) | (d[:, 32] << 2) | (d[:, 33] << 1) | d[:, 34]
-    b8 = (d[:, 35] << 3) | (d[:, 36] << 2) | (d[:, 37] << 1)
+    b5 = (d[22] << 3) | (d[23] << 2) | (d[25] << 1) | d[26]
+    b6 = (d[27] << 3) | (d[28] << 2) | (d[29] << 1) | d[30]
+    b7 = (d[31] << 3) | (d[32] << 2) | (d[33] << 1) | d[34]
+    b8 = (d[35] << 3) | (d[36] << 2) | (d[37] << 1)
     Tl = _tl_from_codes(L, Gm, b5, b6, b7, b8, plus=True)
 
     Ml_n, log2_n, pM, pLg, cL = spectral.spectral_update(
@@ -416,14 +432,14 @@ def decode_ambe2400_parms(ambe_d, cur: Parms, prev: Parms):
         cur,
         w0=jnp.where(model, w0, cur.w0),
         L=jnp.where(model, jnp.where(voice, cL, L), cur.L),
-        Vl=jnp.where(model[:, None], Vl, cur.Vl),
+        Vl=jnp.where(model[None, :], Vl, cur.Vl),
         gamma=jnp.where(voice, gamma, cur.gamma),
-        Ml=jnp.where(voice[:, None], Ml_n, cur.Ml),
-        log2Ml=jnp.where(voice[:, None], log2_n, cur.log2Ml))
+        Ml=jnp.where(voice[None, :], Ml_n, cur.Ml),
+        log2Ml=jnp.where(voice[None, :], log2_n, cur.log2Ml))
     prev_out = dataclasses.replace(
         prev,
-        Ml=jnp.where(voice[:, None], pM, prev.Ml),
-        log2Ml=jnp.where(voice[:, None], pLg, prev.log2Ml))
+        Ml=jnp.where(voice[None, :], pM, prev.Ml),
+        log2Ml=jnp.where(voice[None, :], pLg, prev.log2Ml))
     return cur_out, prev_out, bad
 
 
@@ -478,7 +494,7 @@ def process_ambe2450(ambe_d, total_errors, c0_errors, c0_valid,
                      lcg_prime, tones_enabled: bool = True):
     """Batched mbe_processAmbe2450Dataf (ambe3600x2450.c:851-877).
 
-    Returns (audio [C,160], cur', prev', enh', comfort_rng', flags dict).
+    Returns (audio [160, C], cur', prev', enh', comfort_rng', flags dict).
     """
     cur, prev, enh = _ambe_prepare(total_errors, cur, prev, enh,
                                    jnp.float32(0.001064))
@@ -524,12 +540,12 @@ def process_ambe2450(ambe_d, total_errors, c0_errors, c0_valid,
 
     cn_lanes = voice_mute | tone_cn | is_era
     do_speech = voice_ok | tone_replay
-    audio = jnp.where(do_speech[:, None], audio_s,
-                      jnp.where(tone_play[:, None], tone_audio,
-                                jnp.where(cn_lanes[:, None], cn, 0.0)))
+    audio = jnp.where(do_speech[None, :], audio_s,
+                      jnp.where(tone_play[None, :], tone_audio,
+                                jnp.where(cn_lanes[None, :], cn, 0.0)))
 
     rng_used = (do_speech & aux["mute"]) | cn_lanes
-    comfort_rng = jnp.where(rng_used[:, None], new_rng, comfort_rng)
+    comfort_rng = jnp.where(rng_used[None, :], new_rng, comfort_rng)
     lcg_prime = jnp.where(do_speech & aux["cold_consumed"],
                           jnp.float32(3147.0), lcg_prime)
 
@@ -593,12 +609,12 @@ def process_ambe2400(ambe_d, total_errors, c0_errors, c0_valid,
         swn2, tp2 = cur.swn, cur.tonePhase
 
     cn_lanes = voice_mute | (~voice & ~dstar_tone)  # bad==3, 5/6, noisy tones
-    audio = jnp.where(voice_ok[:, None], audio_s,
-                      jnp.where(dstar_tone[:, None], tone_audio,
-                                jnp.where(cn_lanes[:, None], cn, 0.0)))
+    audio = jnp.where(voice_ok[None, :], audio_s,
+                      jnp.where(dstar_tone[None, :], tone_audio,
+                                jnp.where(cn_lanes[None, :], cn, 0.0)))
 
     rng_used = (voice_ok & aux["mute"]) | cn_lanes
-    comfort_rng = jnp.where(rng_used[:, None], new_rng, comfort_rng)
+    comfort_rng = jnp.where(rng_used[None, :], new_rng, comfort_rng)
     lcg_prime = jnp.where(voice_ok & aux["cold_consumed"],
                           jnp.float32(3147.0), lcg_prime)
 

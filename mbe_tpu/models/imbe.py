@@ -170,16 +170,19 @@ def _onehot_select(onehot, table2d, out_shape):
 def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     """Batched mbe_decodeImbe4400Parms (imbe7200x4400.c:589-630).
 
-    Args: imbe_d [C, 88] int32 parameter bits.
+    Args: imbe_d [88, C] int32 parameter bits (channel-minor).
     Returns: (cur', prev', bad [C] int32) — bad==1 lanes leave all state
     untouched (invalid fundamental, imbe7200x4400.c:117-130).
     """
     tb = _decode_tables()
-    d = imbe_d.astype(jnp.int32)
-    c = d.shape[0]
+    dT = imbe_d.astype(jnp.float32)  # [88, C]
+    c = dT.shape[1]
     hp = jax.lax.Precision.HIGHEST
 
-    b0 = bit_ops.pack_msb_first(d, _B0_IDX)
+    wts = jnp.asarray(
+        (1 << np.arange(len(_B0_IDX) - 1, -1, -1)).astype(np.int32))
+    b0 = jnp.sum(dT[jnp.asarray(_B0_IDX), :].astype(jnp.int32)
+                 * wts[:, None], axis=0)
     bad = (b0 > 207).astype(jnp.int32)
     b0s = jnp.clip(b0, 0, 207)
 
@@ -189,110 +192,107 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     L = bit_ops.lut1d(b0s, np.asarray(T.imbe_L_by_b0, np.int32))
     K = bit_ops.lut1d(b0s, np.asarray(T.imbe_K_by_b0, np.int32))
     L9 = L - 9
-    onehot = jax.nn.one_hot(L9, 48, dtype=jnp.float32)  # [C, 48]
+    onehotT = (L9[None, :] == jnp.arange(48, dtype=jnp.int32)[:, None]
+               ).astype(jnp.float32)  # [48, C]
 
     # --- all bit-layout reads as a fused per-bit scatter-add ---------------
     # (replaces the bb[58][12] scatter of imbe7200x4400.c:156-168 and every
     # bits_descending read; values are exact small integers in f32). Each
     # input bit feeds exactly one reduced column with a 2^t weight, so two
-    # tiny [C,48]@[48,88] selects + one fused compare-reduce replace the old
-    # [C,88]@[88,48*128] matmul and its HBM-resident product tensor.
-    df = d.astype(jnp.float32)
-    colsel = jnp.matmul(onehot, jnp.asarray(tb["colT"]), precision=hp,
-                        preferred_element_type=jnp.float32)  # [C, 88]
-    wsel = jnp.matmul(onehot, jnp.asarray(tb["wT"]), precision=hp,
-                      preferred_element_type=jnp.float32)    # [C, 88]
-    p = wsel * df
+    # tiny [88,48]@[48,C] selects + one fused compare-reduce replace the old
+    # product-tensor matmul. Channel-minor: bits ride the lane axis.
+    colsel = jnp.matmul(jnp.asarray(tb["colT"]).T, onehotT, precision=hp,
+                        preferred_element_type=jnp.float32)  # [88, C]
+    wsel = jnp.matmul(jnp.asarray(tb["wT"]).T, onehotT, precision=hp,
+                      preferred_element_type=jnp.float32)
+    p = wsel * dT
     # unrolled scatter-add: measured ~20% faster on the VPU than the
-    # 3D compare-reduce at C=32768 (same fused single kernel either way)
-    cols = jnp.arange(tb["NCOLS"], dtype=jnp.float32)[None, :]
-    vals = jnp.zeros((c, tb["NCOLS"]), jnp.float32)
+    # 3D compare-reduce (same fused single kernel either way)
+    cols = jnp.arange(tb["NCOLS"], dtype=jnp.float32)[:, None]
+    vals = jnp.zeros((tb["NCOLS"], c), jnp.float32)
     for i in range(88):
-        vals = vals + jnp.where(colsel[:, i:i + 1] == cols,
-                                p[:, i:i + 1], 0.0)          # [C, 72]
+        vals = vals + jnp.where(colsel[i:i + 1, :] == cols,
+                                p[i:i + 1, :], 0.0)          # [72, C]
 
     # --- voicing (imbe7200x4400.c:170-188) --------------------------------
     # Vl[l] = bb[1][max(K-1-(l-1)/3, 0)]: expand the 12 bb[1] source bits
     # with the t(l) index computed arithmetically per lane.
-    li = jnp.arange(57, dtype=jnp.int32)[None, :]
-    tl_idx = jnp.clip(K[:, None] - 1 - (li - 1) // 3, 0, 11)
-    bb1 = vals[:, :12]
-    vl_f = jnp.zeros((c, 57), jnp.float32)
+    li = jnp.arange(57, dtype=jnp.int32)[:, None]
+    tl_idx = jnp.clip(K[None, :] - 1 - (li - 1) // 3, 0, 11)
+    bb1 = vals[:12]
+    vl_f = jnp.zeros((57, c), jnp.float32)
     for t in range(12):  # each band reads exactly one bb[1] bit: select
-        vl_f = jnp.where(tl_idx == t, bb1[:, t:t + 1], vl_f)
-    vl_bits = vl_f.astype(jnp.int32)  # [C, 57]
-    band_mask = (li >= 1) & (li <= L[:, None])
+        vl_f = jnp.where(tl_idx == t, bb1[t:t + 1, :], vl_f)
+    vl_bits = vl_f.astype(jnp.int32)  # [57, C]
+    band_mask = (li >= 1) & (li <= L[None, :])
     Vl = jnp.where(band_mask, vl_bits, cur.Vl)
 
     # --- gains (imbe7200x4400.c:190-209) ----------------------------------
-    b2 = vals[:, 12].astype(jnp.int32)
+    b2 = vals[12].astype(jnp.int32)
     Gm1 = bit_ops.lut1d(b2, np.asarray(T.B2, np.float32))
-    gain_step = _onehot_select(onehot, tb["gain_step"], (5,))
-    gain_off = _onehot_select(onehot, tb["gain_off"], (5,))
-    Gm_rest = gain_step * ((vals[:, 13:18] - gain_off) + jnp.float32(0.5))
-    Gm = jnp.concatenate([Gm1[:, None], Gm_rest], axis=-1)  # [C, 6]
+    gain_step = jnp.matmul(jnp.asarray(tb["gain_step"]).T, onehotT,
+                           precision=hp,
+                           preferred_element_type=jnp.float32)  # [5, C]
+    gain_off = jnp.matmul(jnp.asarray(tb["gain_off"]).T, onehotT,
+                          precision=hp, preferred_element_type=jnp.float32)
+    Gm_rest = gain_step * ((vals[13:18] - gain_off) + jnp.float32(0.5))
+    Gm = jnp.concatenate([Gm1[None, :], Gm_rest], axis=0)  # [6, C]
 
     # --- Ri = 6-pt IDCT (imbe7200x4400.c:211-231) -------------------------
-    Ri = jnp.matmul(Gm, jnp.asarray(tb["RiM"]), precision=hp,
-                    preferred_element_type=jnp.float32)  # [C, 6]
+    Ri = jnp.matmul(jnp.asarray(tb["RiM"]).T, Gm, precision=hp,
+                    preferred_element_type=jnp.float32)  # [6, C]
 
     # --- HOC coefficients (imbe7200x4400.c:233-249) ------------------------
-    qfac = _onehot_select(onehot, tb["hoc_qfac"], (54,))
-    off = _onehot_select(onehot, tb["hoc_off"], (54,))
-    valid = _onehot_select(onehot, tb["m_valid"].astype(np.float32), (54,)) > 0.5
-    hoc = qfac * ((vals[:, 18:72] - off) + jnp.float32(0.5))
-    hoc = jnp.where(valid, hoc, 0.0).reshape(c, 6, 9)
+    qfac = jnp.matmul(jnp.asarray(tb["hoc_qfac"]).T, onehotT, precision=hp,
+                      preferred_element_type=jnp.float32)  # [54, C]
+    off = jnp.matmul(jnp.asarray(tb["hoc_off"]).T, onehotT, precision=hp,
+                     preferred_element_type=jnp.float32)
+    valid = jnp.matmul(jnp.asarray(tb["m_valid"].astype(np.float32)).T,
+                       onehotT, precision=hp,
+                       preferred_element_type=jnp.float32) > 0.5
+    hoc = qfac * ((vals[18:72] - off) + jnp.float32(0.5))
+    hoc = jnp.where(valid, hoc, 0.0).reshape(6, 9, c)
 
-    # Cik flattened to [C, 60] in (i, k-1) layout: k=1 -> Ri, k>=2 -> hoc
-    Cik = jnp.concatenate([Ri[..., None], hoc], axis=-1).reshape(c, 60)
+    # Cik in (i, k-1) layout: k=1 -> Ri, k>=2 -> hoc
+    Cik = jnp.concatenate([Ri.reshape(6, 1, c), hoc], axis=1)  # [6, 10, C]
 
     # --- Tl via factored block-IDCT (imbe7200x4400.c:251-270) -------------
-    # Usel[c,i,j] = sum_k Cik[c,i,k] * Midct[k, ji*10+j] with the per-block
-    # size ji = Ji[L9,i]. The round-2 form computed ALL 11 block-size IDCTs
-    # as one MXU matmul and one-hot-reduced over ji — but that materializes
-    # a [C,6,11,10] f32 U (86 MB at C=32768, 0.34 ms of pure HBM traffic,
-    # xprof'd round 3). Here the ji-select moves onto the MATRIX side: per
-    # k, an 11-way compare-reduce picks the [10]-wide Midct row slice, and
-    # the k-sum accumulates in ascending k like the reference's inner loop
-    # (imbe7200x4400.c:259-264) — one fused VPU kernel, no intermediate,
-    # same cosf-table values.
-    M3 = np.asarray(tb["Midct"]).reshape(10, 11, 10)  # [k, ji, j]
-    # The block sizes have spread exactly 1: Ji[L9,i] = L//6 + (i >= 6-L%6)
-    # (verified against T.ImbeJi for all 48 L9) — so instead of an 11-way
-    # per-(c,i) matrix select (a 55-select chain, xprof'd 0.40 ms), gather
-    # the per-CHANNEL lo/hi IDCT matrices once ([C,100] each, 9-way chain
-    # sharing compares) and pick per block with ONE boolean select in the
-    # k-accumulation. Ascending-k sum like the reference's inner loop
+    # Usel[i,j,c] = sum_k Cik[i,k,c] * Midct[k, ji*10+j] with the per-block
+    # size ji = Ji[L9,i]. The block sizes have spread exactly 1
+    # (Ji[L9,i] = L//6 + (i >= 6-L%6)), so two per-channel [100]-wide
+    # matrices (lo/hi, gathered once via 9 shared compares) and one boolean
+    # per-block select inside the ascending-k accumulation replace both the
+    # big all-sizes intermediate and a 55-way per-(c,i) select chain.
+    # Ascending-k sum like the reference's inner loop
     # (imbe7200x4400.c:259-264); same cosf-table values.
+    M3 = np.asarray(tb["Midct"]).reshape(10, 11, 10)  # [k, ji, j]
     M100 = np.ascontiguousarray(M3.transpose(1, 0, 2).reshape(11, 100))
     lo = jnp.floor_divide(L, 6)
-    lof = lo.astype(jnp.float32)[:, None]  # [C, 1]
-    nlo = (6 - (L - 6 * lo))[:, None]      # first nlo blocks have size lo
-    ehi = jnp.arange(6, dtype=jnp.int32)[None, :] >= nlo  # [C, 6]
-    Mlo = jnp.zeros((c, 100), jnp.float32)
-    Mhi = jnp.zeros((c, 100), jnp.float32)
+    lof = lo.astype(jnp.float32)[None, :]  # [1, C]
+    nlo = (6 - (L - 6 * lo))[None, :]      # first nlo blocks have size lo
+    ehi = jnp.arange(6, dtype=jnp.int32)[:, None] >= nlo  # [6, C]
+    Mlo = jnp.zeros((100, c), jnp.float32)
+    Mhi = jnp.zeros((100, c), jnp.float32)
     for v in range(1, 10):
         mv = lof == jnp.float32(v)
-        Mlo = jnp.where(mv, jnp.asarray(M100[v]), Mlo)
-        Mhi = jnp.where(mv, jnp.asarray(M100[v + 1]), Mhi)
-    Cik3 = Cik.reshape(c, 6, 10)
-    ehx = ehi[..., None]  # [C, 6, 1]
-    Usel = jnp.zeros((c, 6, 10), jnp.float32)
+        Mlo = jnp.where(mv, jnp.asarray(M100[v])[:, None], Mlo)
+        Mhi = jnp.where(mv, jnp.asarray(M100[v + 1])[:, None], Mhi)
+    ehx = ehi[:, None, :]  # [6, 1, C]
+    Usel = jnp.zeros((6, 10, c), jnp.float32)
     for k in range(10):
-        wk = jnp.where(ehx, Mhi[:, None, 10 * k:10 * k + 10],
-                       Mlo[:, None, 10 * k:10 * k + 10])
-        Usel = Usel + Cik3[:, :, k, None] * wk
-    Usel = Usel.reshape(c, 60)
+        wk = jnp.where(ehx, Mhi[10 * k:10 * k + 10][None, :, :],
+                       Mlo[10 * k:10 * k + 10][None, :, :])
+        Usel = Usel + Cik[:, k, :][:, None, :] * wk
+    Usel = Usel.reshape(60, c)
     # scl is a small-integer table (<= 59): exact in bf16, so the one-hot
-    # row gather runs 1-pass on the MXU instead of HIGHEST's 6 (xprof'd
-    # 0.145 ms -> noise).
-    onehot_bf = onehot.astype(jnp.bfloat16)
-    scl = jnp.matmul(onehot_bf, jnp.asarray(tb["scl"], jnp.bfloat16),
-                     preferred_element_type=jnp.float32)  # [C, 57]
+    # row gather runs 1-pass on the MXU instead of HIGHEST's 6.
+    scl = jnp.matmul(jnp.asarray(tb["scl"], jnp.bfloat16).T,
+                     onehotT.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)  # [57, C]
     # each band l reads exactly one slot, so this is a pure select chain
-    Tl = jnp.zeros((c, 57), jnp.float32)
-    for s in range(60):
-        Tl = jnp.where(scl == jnp.float32(s), Usel[:, s:s + 1], Tl)
+    Tl = jnp.zeros((57, c), jnp.float32)
+    for sl in range(60):
+        Tl = jnp.where(scl == jnp.float32(sl), Usel[sl:sl + 1, :], Tl)
 
     # --- spectral amplitude prediction (imbe7200x4400.c:272-354) ----------
     rho = jnp.where(L <= 15, jnp.float32(0.4),
@@ -305,7 +305,7 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
         cur_Ml=cur.Ml, cur_log2Ml=cur.log2Ml)
 
     ok = (bad == 0)
-    okc = ok[:, None]
+    okc = ok[None, :]
     cur_out = dataclasses.replace(
         cur,
         w0=jnp.where(ok, w0, cur.w0),
@@ -326,9 +326,10 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
 # ---------------------------------------------------------------------------
 
 def _extract_bits(word, hi, lo):
-    """[..., hi-lo+1] bits of a packed word, MSB (bit `hi`) first."""
-    shifts = jnp.arange(hi, lo - 1, -1, dtype=jnp.int32)
-    return (word[..., None] >> shifts) & 1
+    """[hi-lo+1, C] bits of a packed word [C], MSB (bit `hi`) first
+    (channel-minor: bit index on the leading axis)."""
+    shifts = jnp.arange(hi, lo - 1, -1, dtype=jnp.int32)[:, None]
+    return (word[None, :] >> shifts) & 1
 
 
 def decode_imbe7200_frame(frame, soft_rel=None):
@@ -338,7 +339,7 @@ def decode_imbe7200_frame(frame, soft_rel=None):
       frame: [C, 8, 23] int32 bitplanes (hard bits, or soft hard-decisions).
       soft_rel: [C, 8, 23] int32 reliabilities, or None for the hard path.
     Returns:
-      (imbe_d [C, 88], c0_errors, protected_errors, c4_errors [C] each)
+      (imbe_d [88, C] channel-minor, c0/protected/c4 errors [C] each)
 
     The hard path is fully packed-word: each row lives in one int32 lane
     (demod keystream included, ops/demod.prng_keywords), so the whole
@@ -351,27 +352,30 @@ def decode_imbe7200_frame(frame, soft_rel=None):
     if soft_rel is not None:
         return _decode_imbe7200_frame_soft(f, soft_rel)
 
-    w = jnp.sum(f * jnp.asarray(_POW2_23), axis=-1)  # [C, 8] packed rows
-    c0w, c0_errs = ecc.golay2312_hard_packed(w[:, 0])
+    # pack rows channel-major (one lane reduce), then ONE tiny [C,8]
+    # transpose puts the whole ECC/demod stage channel-minor: every packed
+    # word row is a dense [C] lane vector and the 3-word Golay/Hamming
+    # batches run on [3, C] (full lanes) instead of [C, 3] (3/128).
+    w = jnp.sum(f * jnp.asarray(_POW2_23), axis=-1).T  # [8, C] packed rows
+    c0w, c0_errs = ecc.golay2312_hard_packed(w[0])
 
     # demod PRNG seeded by C0 data bits 22..11 (imbe7200x4400.c:648-656)
     seed = 16 * (c0w >> 11)
-    kw = demod.prng_keywords(seed, (23, 23, 23, 15, 15, 15))  # [C, 6]
+    kw = demod.prng_keywords(seed, (23, 23, 23, 15, 15, 15))  # [6, C]
 
-    g_out, g_errs = ecc.golay2312_hard_packed(w[:, 1:4] ^ kw[:, 0:3])
-    h_out, h_errs = ecc.hamming1511_hard_packed(
-        (w[:, 4:7] & 0x7FFF) ^ kw[:, 3:6])
-    perrs = jnp.sum(g_errs, axis=1) + jnp.sum(h_errs, axis=1)
-    c4_errs = h_errs[:, 0]
+    g_out, g_errs = ecc.golay2312_hard_packed(w[1:4] ^ kw[0:3])
+    h_out, h_errs = ecc.hamming1511_hard_packed((w[4:7] & 0x7FFF) ^ kw[3:6])
+    perrs = jnp.sum(g_errs, axis=0) + jnp.sum(h_errs, axis=0)
+    c4_errs = h_errs[0]
 
     # 88-bit packing (imbe7200x4400.c:469-515), expanded once at the end
     dparts = [_extract_bits(c0w, 22, 11)]            # C0 data (12 bits)
     for i in range(3):
-        dparts.append(_extract_bits(g_out[:, i], 22, 11))
+        dparts.append(_extract_bits(g_out[i], 22, 11))
     for i in range(3):
-        dparts.append(_extract_bits(h_out[:, i], 14, 4))
-    dparts.append(_extract_bits(w[:, 7], 6, 0))      # row 7: 7 raw bits
-    imbe_d = jnp.concatenate(dparts, axis=-1)
+        dparts.append(_extract_bits(h_out[i], 14, 4))
+    dparts.append(_extract_bits(w[7], 6, 0))         # row 7: 7 raw bits
+    imbe_d = jnp.concatenate(dparts, axis=0)         # [88, C]
     return imbe_d, c0_errs, perrs, c4_errs
 
 
@@ -380,7 +384,7 @@ def _decode_imbe7200_frame_soft(f, soft_rel):
 
     # demod PRNG seeded by C0 bits 22..11 (imbe7200x4400.c:648-656)
     seed = 16 * bit_ops.pack_descending(c0_out, 22, 11)
-    pr = demod.prng_bits(seed, 114)  # [C, 114]
+    pr = demod.prng_bits(seed, 114).T  # [C, 114] (soft path is major)
 
     # rows 1..3 bits 22..0, rows 4..6 bits 14..0 XORed with keystream
     k = 0
@@ -410,7 +414,10 @@ def _decode_imbe7200_frame_soft(f, soft_rel):
     for i in range(3):
         dparts.append(h_out[:, i, 14:3:-1])  # bits 14..4 (11 bits)
     dparts.append(row7[:, 6::-1])  # 7 bits 6..0
-    imbe_d = jnp.concatenate(dparts, axis=-1)
+    # the soft path stays bit-plane channel-major (its dominant [*, 4096]
+    # score tensors are already lane-perfect); one [C,88] transpose hands
+    # the result to the channel-minor decode stage
+    imbe_d = jnp.concatenate(dparts, axis=-1).T  # [88, C]
     return imbe_d, c0_errs, perrs, c4_errs
 
 
@@ -468,70 +475,73 @@ def convert_7100_to_7200(imbe_d):
     pack into three int32 words per lane and each output bit is a 3-way
     word select + per-lane variable shift, with the (word, shift) layout
     tables selected by a tiny one-hot matmul over the 12 K variants.
-    Bit-exact (pure integer ops)."""
+    Bit-exact (pure integer ops). imbe_d: [88, C] channel-minor."""
     d = imbe_d.astype(jnp.int32)
-    b0 = bit_ops.pack_msb_first(d, np.array([1, 2, 3, 4, 5, 6, 86, 87], np.int32))
+    b0idx = jnp.asarray(np.array([1, 2, 3, 4, 5, 6, 86, 87], np.int32))
+    wts = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.int32))
+    b0 = jnp.sum(d[b0idx, :] * wts[:, None], axis=0)
     b0s = jnp.clip(b0, 0, 207)
     K = bit_ops.lut1d(b0s, np.asarray(T.imbe_K_by_b0, np.int32))
 
-    shifts = jnp.arange(32, dtype=jnp.int32)
-    w0 = jnp.sum(d[:, 0:32] << shifts, axis=-1)
-    w1 = jnp.sum(d[:, 32:64] << shifts, axis=-1)
-    w2 = jnp.sum(d[:, 64:88] << shifts[:24], axis=-1)
+    shifts = jnp.arange(32, dtype=jnp.int32)[:, None]
+    w0 = jnp.sum(d[0:32, :] << shifts, axis=0)
+    w1 = jnp.sum(d[32:64, :] << shifts, axis=0)
+    w2 = jnp.sum(d[64:88, :] << shifts[:24], axis=0)
 
     sw_t, sb_t = _conv7100_shift_tables()
-    kh = (jnp.clip(K, 1, 12)[:, None] ==
-          jnp.arange(1, 13, dtype=jnp.int32)).astype(jnp.float32)  # [C,12]
+    kh = (jnp.clip(K, 1, 12)[None, :] ==
+          jnp.arange(1, 13, dtype=jnp.int32)[:, None]
+          ).astype(jnp.float32)  # [12, C]
     hp = jax.lax.Precision.HIGHEST
-    sw = jnp.matmul(kh, jnp.asarray(sw_t), precision=hp,
-                    preferred_element_type=jnp.float32)  # [C, 88]
-    sb = jnp.matmul(kh, jnp.asarray(sb_t), precision=hp,
+    sw = jnp.matmul(jnp.asarray(sw_t).T, kh, precision=hp,
+                    preferred_element_type=jnp.float32)  # [88, C]
+    sb = jnp.matmul(jnp.asarray(sb_t).T, kh, precision=hp,
                     preferred_element_type=jnp.float32).astype(jnp.int32)
 
-    word = jnp.where(sw == 0.0, w0[:, None],
-                     jnp.where(sw == 1.0, w1[:, None], w2[:, None]))
+    word = jnp.where(sw == 0.0, w0[None, :],
+                     jnp.where(sw == 1.0, w1[None, :], w2[None, :]))
     return (word >> sb) & 1
 
 
 def decode_imbe7100_frame(frame, soft_rel=None):
     """Batched mbe_decodeImbe7100x4400[Soft]Frame (imbe7100x4400.c:439-516).
 
-    frame: [C, 7, 24] int32. Returns (imbe_d [C,88] in 7200 layout, c0,
-    protected, c4 errors). Hard path is packed-word end-to-end (see
-    decode_imbe7200_frame)."""
+    frame: [C, 7, 24] int32. Returns (imbe_d [88, C] in 7200 layout, c0,
+    protected, c4 errors). Hard path is packed-word channel-minor
+    end-to-end (see decode_imbe7200_frame)."""
     f = frame.astype(jnp.int32)
     if soft_rel is not None:
         return _decode_imbe7100_frame_soft(f, soft_rel)
 
-    w = jnp.sum(f * jnp.asarray(_POW2_24), axis=-1)  # [C, 7] packed rows
+    w = jnp.sum(f * jnp.asarray(_POW2_24), axis=-1).T  # [7, C] packed rows
 
     # C0: short Golay — 18 data bits at fr[0][1..18], zero-padded to 23
-    c0w_in = (w[:, 0] >> 1) & 0x3FFFF
+    c0w_in = (w[0] >> 1) & 0x3FFFF
     c0w, c0_errs = ecc.golay2312_hard_packed(c0w_in)
     # write corrected bits 0..17 back into fr[0][1..18]
-    fr0 = (w[:, 0] & ~jnp.int32(0x3FFFF << 1)) | ((c0w & 0x3FFFF) << 1)
+    fr0 = (w[0] & ~jnp.int32(0x3FFFF << 1)) | ((c0w & 0x3FFFF) << 1)
 
     # demod PRNG seeded by fr[0] bits 18..12 (imbe7100x4400.c:302-311)
     seed = 16 * ((fr0 >> 12) & 0x7F)
-    kw = demod.prng_keywords(seed, (24, 23, 23, 15, 15))  # [C, 5]
+    kw = demod.prng_keywords(seed, (24, 23, 23, 15, 15))  # [5, C]
 
-    rw1 = (w[:, 1] & 0xFFFFFF) ^ kw[:, 0]
+    rw1 = (w[1] & 0xFFFFFF) ^ kw[0]
     g_in = jnp.stack([(rw1 >> 1) & 0x7FFFFF,
-                      (w[:, 2] & 0x7FFFFF) ^ kw[:, 1],
-                      (w[:, 3] & 0x7FFFFF) ^ kw[:, 2]], axis=1)
-    h_in = (w[:, 4:6] & 0x7FFF) ^ kw[:, 3:5]
+                      (w[2] & 0x7FFFFF) ^ kw[1],
+                      (w[3] & 0x7FFFFF) ^ kw[2]], axis=0)
+    h_in = (w[4:6] & 0x7FFF) ^ kw[3:5]
     g_out, g_errs = ecc.golay2312_hard_packed(g_in)
     h_out, h_errs = ecc.hamming1511_hard_packed(h_in, variant7100=True)
-    perrs = jnp.sum(g_errs, axis=1) + jnp.sum(h_errs, axis=1)
-    c4_errs = h_errs[:, 0]
+    perrs = jnp.sum(g_errs, axis=0) + jnp.sum(h_errs, axis=0)
+    c4_errs = h_errs[0]
 
     dparts = [_extract_bits(fr0, 18, 12)]  # C0 bits 18..12 (7 bits)
     for i in range(3):
-        dparts.append(_extract_bits(g_out[:, i], 22, 11))
+        dparts.append(_extract_bits(g_out[i], 22, 11))
     for i in range(2):
-        dparts.append(_extract_bits(h_out[:, i], 14, 4))
-    dparts.append(_extract_bits(w[:, 6], 22, 0))  # C6: 23 raw bits
-    imbe_d = jnp.concatenate(dparts, axis=-1)
+        dparts.append(_extract_bits(h_out[i], 14, 4))
+    dparts.append(_extract_bits(w[6], 22, 0))  # C6: 23 raw bits
+    imbe_d = jnp.concatenate(dparts, axis=0)   # [88, C]
     imbe_d = convert_7100_to_7200(imbe_d)
     return imbe_d, c0_errs, perrs, c4_errs
 
@@ -550,7 +560,7 @@ def _decode_imbe7100_frame_soft(f, soft_rel):
 
     # demod PRNG seeded by fr[0] bits 18..12 (imbe7100x4400.c:302-311)
     seed = 16 * bit_ops.pack_descending(fr0, 18, 12)
-    pr = demod.prng_bits(seed, 100)
+    pr = demod.prng_bits(seed, 100).T  # [C, 100] (soft path is major)
 
     row1 = f[:, 1, :] ^ pr[:, 0:24][:, ::-1]
     k = 24
@@ -586,7 +596,8 @@ def _decode_imbe7100_frame_soft(f, soft_rel):
     for i in range(2):
         dparts.append(h_out[:, i, 14:3:-1])
     dparts.append(f[:, 6, 22::-1])  # C6: 23 raw bits 22..0
-    imbe_d = jnp.concatenate(dparts, axis=-1)
+    # soft path stays bit-plane channel-major; one transpose at the exit
+    imbe_d = jnp.concatenate(dparts, axis=-1).T  # [88, C]
     imbe_d = convert_7100_to_7200(imbe_d)
     return imbe_d, c0_errs, perrs, c4_errs
 
@@ -601,9 +612,9 @@ def process_imbe4400(imbe_d, total_errors, c0_errors, c0_valid, c4_errors,
     """Batched mbe_processImbe4400Dataf (imbe7200x4400.c:858-888).
 
     Args:
-      imbe_d: [C, 88] int32.
+      imbe_d: [88, C] int32 (channel-minor).
       total_errors/c0_errors/c4_errors: [C] i32; c0_valid/c4_valid [C] bool.
-    Returns: (audio [C,160] f32, cur', prev', enh', comfort_rng',
+    Returns: (audio [160, C] f32, cur', prev', enh', comfort_rng',
               flags dict of [C] bool: repeat, mute)
     """
     # -- prepare (imbe7200x4400.c:780-808) ---------------------------------
@@ -645,7 +656,7 @@ def process_imbe4400(imbe_d, total_errors, c0_errors, c0_valid, c4_errors,
     cur = dataclasses.replace(cur, Ml=Ml_e)
     cn, new_rng = noise.comfort_noise(comfort_rng)
     audio, cur, enh, aux = synthesize_speech_core(cur, enh, cn, lcg_prime, rm0)
-    comfort_rng = jnp.where(aux["mute"][:, None], new_rng, comfort_rng)
+    comfort_rng = jnp.where(aux["mute"][None, :], new_rng, comfort_rng)
     lcg_prime = jnp.where(aux["cold_consumed"], jnp.float32(3147.0), lcg_prime)
     enh = cur  # prev_enh <- cur
 

@@ -41,13 +41,13 @@ def synthesize_speech_core(cur: Parms, prev: Parms, comfort_samples,
 
     Args:
       cur, prev: Parms (prev is prev_mp_enhanced in the process paths).
-      comfort_samples: [C, 160] f32 comfort noise for this frame.
+      comfort_samples: [160, C] f32 comfort noise for this frame.
       lcg_prime: [C] f32 cold-start LCG prime values.
       rm0: [C] f32 pre-enhancement spectral energy (pass the enhance result;
         for the plain mbe_synthesizeSpeechf path pass the Σ Ml² of cur —
         mbe_adaptive.c:151-161).
     Returns:
-      (audio [C, 160] f32, cur', prev', aux) where aux carries [C] bool
+      (audio [160, C] f32, cur', prev', aux) where aux carries [C] bool
       masks: `mute` (lanes that consumed the comfort samples) and
       `cold_consumed` (lanes whose one-shot LCG seed override was consumed —
       mbe_unvoiced_fft.c:315-318; the caller must reset lcg_prime to 3147 on
@@ -61,8 +61,8 @@ def synthesize_speech_core(cur: Parms, prev: Parms, comfort_samples,
         cur.errorCount4, prev.localEnergy, prev.amplitudeThreshold, rm0)
     cur = dataclasses.replace(
         cur,
-        Ml=jnp.where(valid[:, None], Ml_s, cur.Ml),
-        Vl=jnp.where(valid[:, None], Vl_s, cur.Vl),
+        Ml=jnp.where(valid[None, :], Ml_s, cur.Ml),
+        Vl=jnp.where(valid[None, :], Vl_s, cur.Vl),
         localEnergy=jnp.where(valid, local_e, cur.localEnergy),
         amplitudeThreshold=jnp.where(valid, amp_t, cur.amplitudeThreshold))
 
@@ -89,10 +89,10 @@ def synthesize_speech_core(cur: Parms, prev: Parms, comfort_samples,
         cur.w0, cur.L, c_Ml, c_Vl, prev.previousUw, noise_buf)
     speech = synth.clip_float(voiced + unvoiced_add)
 
-    audio = jnp.where(speak[:, None], speech,
-                      jnp.where(mute[:, None], comfort_samples, 0.0))
+    audio = jnp.where(speak[None, :], speech,
+                      jnp.where(mute[None, :], comfort_samples, 0.0))
 
-    sp = speak[:, None]
+    sp = speak[None, :]
     cur = dataclasses.replace(
         cur,
         Ml=jnp.where(sp, c_Ml, cur.Ml),
@@ -113,5 +113,5 @@ def synthesize_speech_core(cur: Parms, prev: Parms, comfort_samples,
 def current_frame_rm0(cur: Parms):
     """mbe_current_frame_rm0 (mbe_adaptive.c:151-161)."""
     mask = enhance.band_mask(cur.L)
-    rm0 = jnp.sum(jnp.where(mask, cur.Ml * cur.Ml, 0.0), axis=-1)
+    rm0 = jnp.sum(jnp.where(mask, cur.Ml * cur.Ml, 0.0), axis=0)
     return jnp.where(_valid_L(cur.L), rm0, 0.0)

@@ -2,10 +2,17 @@
 
 The reference keeps one caller-owned `mbe_parms` triplet per stream plus a
 handful of thread-local RNG singletons (mbelib.h:88-139, SURVEY.md L4). Here
-all of that becomes one pytree of [C, ...] arrays — C concurrent channels —
+all of that becomes one pytree of batched arrays — C concurrent channels —
 that is threaded functionally through every frame step and scanned over
 time. It is plain data: trivially snapshottable, shardable along C, and
 donate-able.
+
+Layout (round 3): the channel axis is MINOR — scalars are [C], per-band
+arrays are [57, C], buffers [256, C]/[96, C]. On TPU the minor-most dim
+maps to the 128-wide vector lanes, so [C, 57] arrays padded 57 -> 128
+ran every elementwise op at ~45% lane occupancy; with channels in lanes
+the band math runs dense (57 -> 64 sublanes instead). Bit-exact: only
+array orientation changes, not arithmetic.
 """
 
 import dataclasses
@@ -42,16 +49,17 @@ def _field(**kw):
          meta_fields=[])
 @dataclasses.dataclass
 class Parms:
-    """Batched mirror of mbe_parms (mbelib.h:88-139). All leaves [C, ...]."""
+    """Batched mirror of mbe_parms (mbelib.h:88-139). Channel axis minor:
+    scalars [C], band arrays [57, C], buffers [256, C]/[96, C]."""
 
     w0: jax.Array            # [C] f32
     L: jax.Array             # [C] i32
     K: jax.Array             # [C] i32
-    Vl: jax.Array            # [C, 57] i32
-    Ml: jax.Array            # [C, 57] f32
-    log2Ml: jax.Array        # [C, 57] f32
-    PHIl: jax.Array          # [C, 57] f32
-    PSIl: jax.Array          # [C, 57] f32
+    Vl: jax.Array            # [57, C] i32
+    Ml: jax.Array            # [57, C] f32
+    log2Ml: jax.Array        # [57, C] f32
+    PHIl: jax.Array          # [57, C] f32
+    PSIl: jax.Array          # [57, C] f32
     gamma: jax.Array         # [C] f32
     tonePhase: jax.Array     # [C] u32
     swn: jax.Array           # [C] u32 (tone phase 1 accumulator)
@@ -62,9 +70,9 @@ class Parms:
     errorCount4: jax.Array   # [C] i32
     repeatCount: jax.Array   # [C] i32
     mutingThreshold: jax.Array     # [C] f32
-    previousUw: jax.Array    # [C, 256] f32
+    previousUw: jax.Array    # [256, C] f32
     noiseSeed: jax.Array     # [C] f32 (<0 = cold start sentinel)
-    noiseOverlap: jax.Array  # [C, 96] f32
+    noiseOverlap: jax.Array  # [96, C] f32
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -88,7 +96,7 @@ class ChannelState:
     # FSMs genuinely diverge (tone/erasure lanes leave enh untouched) and
     # require a real enh.
     enh: Parms | None
-    comfort_rng: jax.Array  # [C, 3] u32 (16-bit limbs of Java Random state)
+    comfort_rng: jax.Array  # [3, C] u32 (16-bit limbs of Java Random state)
     lcg_prime: jax.Array    # [C] f32 (unvoiced LCG cold-start value)
 
 
@@ -108,11 +116,11 @@ def _default_parms(c: int, ambe: bool) -> Parms:
         mut = jnp.full((c,), MUTING_THRESHOLD_IMBE, f32)
     return Parms(
         w0=w0, L=L, K=K,
-        Vl=jnp.zeros((c, NBANDS), jnp.int32),
-        Ml=jnp.ones((c, NBANDS), f32),
-        log2Ml=jnp.zeros((c, NBANDS), f32),
-        PHIl=jnp.zeros((c, NBANDS), f32),
-        PSIl=jnp.zeros((c, NBANDS), f32),
+        Vl=jnp.zeros((NBANDS, c), jnp.int32),
+        Ml=jnp.ones((NBANDS, c), f32),
+        log2Ml=jnp.zeros((NBANDS, c), f32),
+        PHIl=jnp.zeros((NBANDS, c), f32),
+        PSIl=jnp.zeros((NBANDS, c), f32),
         gamma=jnp.zeros((c,), f32),
         tonePhase=jnp.zeros((c,), jnp.uint32),
         swn=jnp.zeros((c,), jnp.uint32),
@@ -123,9 +131,9 @@ def _default_parms(c: int, ambe: bool) -> Parms:
         errorCount4=jnp.zeros((c,), jnp.int32),
         repeatCount=jnp.zeros((c,), jnp.int32),
         mutingThreshold=mut,
-        previousUw=jnp.zeros((c, 256), f32),
+        previousUw=jnp.zeros((256, c), f32),
         noiseSeed=jnp.full((c,), -1.0, f32),
-        noiseOverlap=jnp.zeros((c, 96), f32),
+        noiseOverlap=jnp.zeros((96, c), f32),
     )
 
 
@@ -165,17 +173,18 @@ def ambe_default_parms_like(p: Parms) -> Parms:
 
 
 def select(mask, a: Parms, b: Parms) -> Parms:
-    """Lane-wise select: mask [C] -> a where True else b, per leaf."""
+    """Lane-wise select: mask [C] -> a where True else b, per leaf.
+    The channel axis is minor, so the mask broadcasts on LEADING axes."""
     def sel(x, y):
-        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+        m = mask.reshape((1,) * (x.ndim - mask.ndim) + mask.shape)
         return jnp.where(m, x, y)
     return jax.tree.map(sel, a, b)
 
 
 def select_tree(mask, a, b):
-    """Lane-wise select over arbitrary matching pytrees."""
+    """Lane-wise select over arbitrary matching pytrees (channel minor)."""
     def sel(x, y):
-        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+        m = mask.reshape((1,) * (x.ndim - mask.ndim) + mask.shape)
         return jnp.where(m, x, y)
     return jax.tree.map(sel, a, b)
 
@@ -194,9 +203,9 @@ def erasure_parms(mp: Parms, continuity: Parms) -> Parms:
         L=jnp.full((c,), 9, jnp.int32),
         K=jnp.zeros((c,), jnp.int32),
         gamma=jnp.zeros((c,), f32),
-        Ml=jnp.ones((c, NBANDS), f32),
-        Vl=jnp.zeros((c, NBANDS), jnp.int32),
-        log2Ml=jnp.zeros((c, NBANDS), f32),
+        Ml=jnp.ones((NBANDS, c), f32),
+        Vl=jnp.zeros((NBANDS, c), jnp.int32),
+        log2Ml=jnp.zeros((NBANDS, c), f32),
         PHIl=continuity.PHIl,
         PSIl=continuity.PSIl,
         localEnergy=jnp.full((c,), DEFAULT_LOCAL_ENERGY, f32),
@@ -220,9 +229,9 @@ def imbe_headroom_reset(mp: Parms) -> Parms:
         L=jnp.full((c,), 39, jnp.int32),
         K=jnp.full((c,), 12, jnp.int32),
         gamma=jnp.zeros((c,), f32),
-        Vl=jnp.zeros((c, NBANDS), jnp.int32),
-        Ml=jnp.ones((c, NBANDS), f32),
-        log2Ml=jnp.zeros((c, NBANDS), f32),
+        Vl=jnp.zeros((NBANDS, c), jnp.int32),
+        Ml=jnp.ones((NBANDS, c), f32),
+        log2Ml=jnp.zeros((NBANDS, c), f32),
         repeatCount=jnp.zeros((c,), jnp.int32),
         localEnergy=jnp.full((c,), DEFAULT_LOCAL_ENERGY, f32),
         amplitudeThreshold=jnp.full((c,), DEFAULT_AMPLITUDE_THRESHOLD, jnp.int32),

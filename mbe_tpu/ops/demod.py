@@ -24,21 +24,21 @@ def prng_keywords(seed, widths):
     bit planes per row.
 
     Args:
-      seed: [...] int32 pr[0] (already multiplied by 16 by callers).
+      seed: [C] int32 pr[0] (already multiplied by 16 by callers).
       widths: static tuple of per-row bit widths (e.g. (23,23,23,15,15,15)).
     Returns:
-      [..., len(widths)] int32 key words (bit j of word r = pr bit
-      offset_r + (width_r-1-j)).
+      [len(widths), C] int32 key words (bit j of word r = pr bit
+      offset_r + (width_r-1-j)) — channel-minor like the packed rows.
     """
     total = sum(widths)
-    W = np.zeros((total, len(widths)), np.float32)
+    W = np.zeros((len(widths), total), np.float32)
     k = 0
     for r, w in enumerate(widths):
         for m in range(w):
-            W[k + m, r] = float(1 << (w - 1 - m))
+            W[r, k + m] = float(1 << (w - 1 - m))
         k += w
     bits = prng_bits(seed, total).astype(jnp.float32)
-    words = jnp.matmul(bits, jnp.asarray(W),
+    words = jnp.matmul(jnp.asarray(W), bits,
                        precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
     return words.astype(jnp.int32)
@@ -48,14 +48,14 @@ def prng_bits(seed, count):
     """Keystream bits pr[1..count]>>15 for a batch of seeds.
 
     Args:
-      seed: [...] int32, pr[0] value (already multiplied by 16 by callers).
+      seed: [C] int32, pr[0] value (already multiplied by 16 by callers).
       count: static int, number of keystream bits (23 for AMBE, 114 for
         IMBE 7200, 100 for IMBE 7100).
     Returns:
-      [..., count] int32 in {0,1} — bit k is pr[k+1] >> 15.
+      [count, C] int32 in {0,1} — bit k is pr[k+1] >> 15 (channel-minor).
     """
-    A = jnp.asarray(T.demod_prng_A[1:count + 1]).astype(jnp.uint32)
-    B = jnp.asarray(T.demod_prng_B[1:count + 1]).astype(jnp.uint32)
-    s = seed.astype(jnp.uint32)[..., None]
+    A = jnp.asarray(T.demod_prng_A[1:count + 1]).astype(jnp.uint32)[:, None]
+    B = jnp.asarray(T.demod_prng_B[1:count + 1]).astype(jnp.uint32)[:, None]
+    s = seed.astype(jnp.uint32)[None, :]
     pr = (A * s + B) & jnp.uint32(0xFFFF)
     return (pr >> 15).astype(jnp.int32)

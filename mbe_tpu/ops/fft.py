@@ -59,26 +59,30 @@ def rfft256(x):
 
 
 def rfft256_packed(x):
-    """[..., 256] f32 -> reim [..., 258] = [re | im] as ONE MXU matmul.
+    """Channel-minor packed rDFT: x [256, C] f32 -> reim [258, C] =
+    [re | im] as ONE MXU matmul.
 
-    Column-wise identical to rfft256 (each output column is an independent
-    contraction), but one dot of 258 columns pads to 384 lanes where two
-    129-column dots pad to 2x256 — ~25% less MXU work and half the kernel
-    launches. Slice [..., :129] / [..., 129:] for re/im; the slices fuse
-    into elementwise consumers."""
+    Row-wise identical to rfft256 (each output row is an independent
+    contraction), but one dot of 258 rows pads to 384 where two 129-row
+    dots pad to 2x256 — ~25% less MXU work and half the kernel launches.
+    Slice [:129] / [129:] for re/im; the slices fuse into elementwise
+    consumers."""
     fc, fs, _, _ = _mats()
     hp = _prec()
-    m = jnp.asarray(np.concatenate([fc, fs], axis=1))  # [256, 258]
-    return jnp.matmul(x, m, precision=hp,
+    m = jnp.asarray(np.ascontiguousarray(
+        np.concatenate([fc, fs], axis=1).T))  # [258, 256]
+    return jnp.matmul(m, x, precision=hp,
                       preferred_element_type=jnp.float32)
 
 
 def irfft256_packed(reim):
-    """reim [..., 258] ([re | im]) -> x [..., 256] f32, one MXU matmul."""
+    """reim [258, C] ([re | im]) -> x [256, C] f32, one MXU matmul
+    (channel-minor)."""
     _, _, ic, isn = _mats()
     hp = _prec()
-    m = jnp.asarray(np.concatenate([ic, isn], axis=0))  # [258, 256]
-    return jnp.matmul(reim, m, precision=hp,
+    m = jnp.asarray(np.ascontiguousarray(
+        np.concatenate([ic, isn], axis=0).T))  # [256, 258]
+    return jnp.matmul(m, reim, precision=hp,
                       preferred_element_type=jnp.float32)
 
 

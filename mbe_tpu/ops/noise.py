@@ -37,14 +37,14 @@ def lcg_block(seed_int, count=160):
     """LCG samples and final state via affine jump.
 
     Args:
-      seed_int: [...] uint32/int32 current LCG state (already mod 53125).
+      seed_int: [C] uint32/int32 current LCG state (already mod 53125).
       count: static int <= 160.
     Returns:
-      (samples [..., count] int32 — value BEFORE each update, next_state [...]).
+      (samples [count, C] int32 — value BEFORE each update, next_state [C]).
     """
-    A = jnp.asarray(T.lcg_A[:count]).astype(jnp.uint32)
-    B = jnp.asarray(T.lcg_B[:count]).astype(jnp.uint32)
-    s = seed_int.astype(jnp.uint32)[..., None]
+    A = jnp.asarray(T.lcg_A[:count]).astype(jnp.uint32)[:, None]
+    B = jnp.asarray(T.lcg_B[:count]).astype(jnp.uint32)[:, None]
+    s = seed_int.astype(jnp.uint32)[None, :]
     samples = (A * s + B) % jnp.uint32(LCG_M)
     a_n = jnp.uint32(int(T.lcg_A[count]))
     b_n = jnp.uint32(int(T.lcg_B[count]))
@@ -57,11 +57,11 @@ def generate_noise_with_overlap(noise_seed, noise_overlap, prime_value):
 
     Args:
       noise_seed: [C] float32 (LCG state as float; < 0 means cold start).
-      noise_overlap: [C, 96] float32.
+      noise_overlap: [96, C] float32.
       prime_value: [C] float32 — state to prime with on cold start (3147 by
         default, or seed%53125 after set_rng_seed; mbe_unvoiced_fft.c:313-321).
     Returns:
-      (buffer [C, 256] f32, new_seed [C] f32, new_overlap [C, 96] f32).
+      (buffer [256, C] f32, new_seed [C] f32, new_overlap [96, C] f32).
 
     Cold-start lanes (seed < 0) emit all-zero buffers and prime the seed.
     """
@@ -71,37 +71,37 @@ def generate_noise_with_overlap(noise_seed, noise_overlap, prime_value):
     samples, next_state = lcg_block(jnp.maximum(state, 0), count=160)
 
     warm_buffer = jnp.concatenate(
-        [noise_overlap, samples.astype(jnp.float32)], axis=-1)  # [C, 256]
-    warm_overlap = warm_buffer[..., FFT_SIZE - NOISE_OVERLAP:]
+        [noise_overlap, samples.astype(jnp.float32)], axis=0)  # [256, C]
+    warm_overlap = warm_buffer[FFT_SIZE - NOISE_OVERLAP:, :]
 
-    buffer = jnp.where(cold[..., None], 0.0, warm_buffer)
-    new_overlap = jnp.where(cold[..., None], 0.0, warm_overlap)
+    buffer = jnp.where(cold[None, :], 0.0, warm_buffer)
+    new_overlap = jnp.where(cold[None, :], 0.0, warm_overlap)
     new_seed = jnp.where(cold, prime_value, next_state.astype(jnp.float32))
     return buffer, new_seed, new_overlap
 
 
 def java_random_init(seed_u32):
     """Java Random setSeed: state = (seed ^ 0x5DEECE66D) & 2^48-1, as three
-    16-bit limbs [..., 3] uint32 (mbe_adaptive.c:33-38). Zero seed maps to
+    16-bit limbs [3, C] uint32 (mbe_adaptive.c:33-38). Zero seed maps to
     0x6d25357b first (mbe_setThreadRngSeed, mbelib.c:174-180)."""
     seed = jnp.where(seed_u32 == 0, jnp.uint32(0x6D25357B), seed_u32)
     s = seed.astype(jnp.uint32)
     s0 = (s & 0xFFFF) ^ jnp.uint32(_JM0)
     s1 = ((s >> 16) & 0xFFFF) ^ jnp.uint32(_JM1)
     s2 = jnp.zeros_like(s) ^ jnp.uint32(_JM2)  # seed's bits 32..47 are 0
-    return jnp.stack([s0, s1, s2], axis=-1)
+    return jnp.stack([s0, s1, s2], axis=0)
 
 
 def _java_step(limbs):
-    """One Java Random LCG step on 16-bit limb state [..., 3] uint32.
+    """One Java Random LCG step on 16-bit limb state [3, C] uint32.
 
     Exact 48-bit arithmetic via 16x16 partial products (each < 2^32) with
     explicit carry propagation; the top limb only needs mod 2^16 so uint32
     wraparound in its sum is harmless.
     """
-    s0 = limbs[..., 0]
-    s1 = limbs[..., 1]
-    s2 = limbs[..., 2]
+    s0 = limbs[0]
+    s1 = limbs[1]
+    s2 = limbs[2]
     m0, m1, m2 = jnp.uint32(_JM0), jnp.uint32(_JM1), jnp.uint32(_JM2)
 
     p00 = s0 * m0
@@ -117,13 +117,13 @@ def _java_step(limbs):
 
     t2 = s0 * m2 + s1 * m1 + s2 * m0 + c1
     r2 = t2 & 0xFFFF
-    return jnp.stack([r0, r1, r2], axis=-1)
+    return jnp.stack([r0, r1, r2], axis=0)
 
 
 def java_next_bits24(limbs):
     """(new_limbs, value) — next(24) = top 24 bits of the 48-bit state."""
     new = _java_step(limbs)
-    val = (new[..., 2] << 8) | (new[..., 1] >> 8)
+    val = (new[2] << 8) | (new[1] >> 8)
     return new, val
 
 
@@ -154,17 +154,17 @@ def comfort_noise(limbs, n=160):
     parallel with exact 16-bit-limb uint32 arithmetic (the same carry
     scheme as _java_step, generalized to 3x3 partial products).
 
-    Args: limbs [..., 3] uint32 Java-Random state.
-    Returns: (samples [..., n] f32, new_limbs).
+    Args: limbs [3, C] uint32 Java-Random state.
+    Returns: (samples [n, C] f32, new_limbs [3, C]).
     """
     assert n <= 160
     a = jnp.asarray(_JUMP_A[:n])  # [n, 3]
     b = jnp.asarray(_JUMP_B[:n])
-    s0 = limbs[..., 0:1]  # [..., 1] broadcasts against [n]
-    s1 = limbs[..., 1:2]
-    s2 = limbs[..., 2:3]
-    a0, a1, a2 = a[:, 0], a[:, 1], a[:, 2]
-    b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
+    s0 = limbs[0][None, :]  # [1, C] broadcasts against [n, 1]
+    s1 = limbs[1][None, :]
+    s2 = limbs[2][None, :]
+    a0, a1, a2 = a[:, 0][:, None], a[:, 1][:, None], a[:, 2][:, None]
+    b0, b1, b2 = b[:, 0][:, None], b[:, 1][:, None], b[:, 2][:, None]
 
     p00 = a0 * s0
     t0 = p00 + b0
@@ -182,6 +182,6 @@ def comfort_noise(limbs, n=160):
     u = (val.astype(jnp.float32) / jnp.float32(16777216.0)) * 2.0 - 1.0
     samples = u * gain
 
-    r0_last = t0[..., n - 1] & 0xFFFF
-    new_limbs = jnp.stack([r0_last, r1[..., n - 1], r2[..., n - 1]], axis=-1)
+    r0_last = t0[n - 1] & 0xFFFF
+    new_limbs = jnp.stack([r0_last, r1[n - 1], r2[n - 1]], axis=0)
     return samples, new_limbs

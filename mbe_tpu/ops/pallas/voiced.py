@@ -110,7 +110,8 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
                 interp_q, w_prev, w_cur, interpret=False, cb=CB):
     """Windowed voiced component: all three harmonic sums + windows fused.
 
-    Args (first six [C, 56] f32, interp_* [C, 7] f32; C a multiple of cb):
+    Args (first six [56, C] f32, interp_* [7, C] f32 — channel-minor, the
+    kernel's native layout; C a multiple of cb):
       gain_prev/gain_cur: 2*Ml with all masks folded in (zero = inactive).
       phi_prev: prev_PHIl; phi_cur0: cur_PHIl - cw0*l*160 (start phase).
       step_prev/step_cur: w0*l phase increments.
@@ -125,18 +126,20 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
         to one.
       cb: channels per grid block (128 is the measured optimum).
     Returns:
-      voiced [C, 160]:
-      voiced[c, n] = w_prev[n] * sum_l gain_prev*cos(phi_prev + n*step_prev)
+      voiced [160, C]:
+      voiced[n, c] = w_prev[n] * sum_l gain_prev*cos(phi_prev + n*step_prev)
                    + w_cur[n]  * sum_l gain_cur *cos(phi_cur0 + n*step_cur)
                    + sum_l amp_n * cos(theta_n).
     """
-    c = gain_prev.shape[0]
+    c = gain_prev.shape[1]
 
     def prep(g, phi, step):
-        # transpose to [56, C], pad harmonics to 64 sublanes, fold gains
-        gT = jnp.pad(g.T, ((0, LP - 56), (0, 0)))
-        phiT = jnp.pad(phi.T, ((0, LP - 56), (0, 0)))
-        stepT = jnp.pad(step.T, ((0, LP - 56), (0, 0)))
+        # pad harmonics to 64 sublanes, fold gains (inputs arrive [56, C] —
+        # the channel-minor state layout matches the kernel layout, so the
+        # transposes this prep used to do are gone)
+        gT = jnp.pad(g, ((0, LP - 56), (0, 0)))
+        phiT = jnp.pad(phi, ((0, LP - 56), (0, 0)))
+        stepT = jnp.pad(step, ((0, LP - 56), (0, 0)))
         return (gT * jnp.cos(phiT), gT * jnp.cos(phiT + stepT),
                 jnp.float32(2.0) * jnp.cos(stepT))
 
@@ -144,7 +147,7 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
     b = prep(gain_cur, phi_cur0, step_cur)
 
     def prep7(x):
-        return jnp.pad(x.T, ((0, LI - 7), (0, 0)))
+        return jnp.pad(x, ((0, LI - 7), (0, 0)))
 
     a0 = prep7(interp_amp0)
     da = prep7(interp_damp)
@@ -177,4 +180,4 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((160, c), jnp.float32),
     )(*a, *b, *iv, wp, wc)
-    return out.T
+    return out

@@ -4,8 +4,12 @@ TPU-native reformulation of the reference synthesis chain
 (mbelib.c:891-1105, mbe_unvoiced_fft.c:714-761):
 
 - The per-harmonic oscillator recurrences become closed-form
-  cos(phi + step*n) evaluations over a dense [C, 56, 160] grid with masked
-  accumulation — no sequential dependence inside a frame.
+  cos(phi + step*n) evaluations over a dense harmonic/sample grid with
+  masked accumulation — no sequential dependence inside a frame.
+- Channel-minor layout (round 3): band arrays are [57, C], buffers
+  [256, C], audio [160, C] — channels ride the 128-wide lane axis, so
+  the VPU band math runs at full lane occupancy instead of the ~45%
+  a [C, 57] (57 -> 128 pad) layout gets.
 - The 256-pt PFFFT pair becomes a DFT-as-matmul on the MXU (ops/fft.py).
 - WOLA, window, clipping are plain fused elementwise ops with precomputed
   weight vectors.
@@ -106,9 +110,11 @@ def reconcile_model_lengths(cur_L, cur_Ml, cur_Vl, prev_L, prev_Ml, prev_Vl):
     shorter model's L on whichever side is shorter. Returns
     (maxl, cur_Ml, cur_Vl, prev_Ml, prev_Vl)."""
     maxl = jnp.maximum(cur_L, prev_L)
-    li = _L_IDX_I[None, :]
-    grow_prev = (cur_L > prev_L)[:, None] & (li > prev_L[:, None]) & (li <= cur_L[:, None])
-    grow_cur = (cur_L <= prev_L)[:, None] & (li > cur_L[:, None]) & (li <= prev_L[:, None])
+    li = _L_IDX_I[:, None]
+    grow_prev = ((cur_L > prev_L)[None, :] & (li > prev_L[None, :])
+                 & (li <= cur_L[None, :]))
+    grow_cur = ((cur_L <= prev_L)[None, :] & (li > cur_L[None, :])
+                & (li <= prev_L[None, :]))
     prev_Ml = jnp.where(grow_prev, 0.0, prev_Ml)
     prev_Vl = jnp.where(grow_prev, 1, prev_Vl)
     cur_Ml = jnp.where(grow_cur, 0.0, cur_Ml)
@@ -118,8 +124,8 @@ def reconcile_model_lengths(cur_L, cur_Ml, cur_Vl, prev_L, prev_Ml, prev_Vl):
 
 def count_unvoiced(Vl, L):
     """numUv counts Vl[0..L] == 0 including index 0 (mbelib.c:901-910)."""
-    m = _L_IDX_I[None, :] <= L[:, None]
-    return jnp.sum(jnp.where(m & (Vl == 0), 1, 0), axis=-1)
+    m = _L_IDX_I[:, None] <= L[None, :]
+    return jnp.sum(jnp.where(m & (Vl == 0), 1, 0), axis=0)
 
 
 def update_phases(cur_w0, cur_L, cur_PSIl_old, cur_PHIl_old,
@@ -127,21 +133,22 @@ def update_phases(cur_w0, cur_L, cur_PSIl_old, cur_PHIl_old,
     """mbe_update_speech_phases (mbelib.c:931-951) for l = 1..56.
 
     Index 0 of every phase array is untouched (the C loop runs l=1..56).
-    Returns (cur_PSIl, cur_PHIl, prev_PSIl_wrapped).
-    noise_buffer: [C, 256] f32 LCG samples (phase jitter uses entries 1..56).
+    Returns (cur_PSIl, cur_PHIl, prev_PSIl_wrapped) — all [57, C].
+    noise_buffer: [256, C] f32 LCG samples (phase jitter uses entries 1..56).
     """
-    li = jnp.asarray(_L_IDX_F)[None, :]
+    li = jnp.asarray(_L_IDX_F)[:, None]
     psi_wrapped = jnp.mod(prev_PSIl, TWO_PI)
     psi_wrapped = jnp.where(psi_wrapped < 0.0, psi_wrapped + TWO_PI, psi_wrapped)
 
     lN = li * jnp.float32(FRAME)
-    cur_psi = psi_wrapped + (prev_w0 + cur_w0)[:, None] * (lN / jnp.float32(2.0))
-    pl = WHITE_NOISE_SCALAR * noise_buffer[:, :57] - jnp.float32(np.pi)
-    jitter = (num_uv.astype(jnp.float32)[:, None] * pl) / cur_L.astype(jnp.float32)[:, None]
-    low = _L_IDX_I[None, :] <= (cur_L // 4)[:, None]
+    cur_psi = psi_wrapped + (prev_w0 + cur_w0)[None, :] * (lN / jnp.float32(2.0))
+    pl = WHITE_NOISE_SCALAR * noise_buffer[:57, :] - jnp.float32(np.pi)
+    jitter = ((num_uv.astype(jnp.float32)[None, :] * pl)
+              / cur_L.astype(jnp.float32)[None, :])
+    low = _L_IDX_I[:, None] <= (cur_L // 4)[None, :]
     cur_phi = jnp.where(low, cur_psi, cur_psi + jitter)
 
-    band0 = _L_IDX_I[None, :] == 0
+    band0 = _L_IDX_I[:, None] == 0
     cur_psi = jnp.where(band0, cur_PSIl_old, cur_psi)
     cur_phi = jnp.where(band0, cur_PHIl_old, cur_phi)
     psi_wrapped = jnp.where(band0, prev_PSIl, psi_wrapped)
@@ -154,99 +161,103 @@ def update_phases(cur_w0, cur_L, cur_PSIl_old, cur_PHIl_old,
 
 def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
                   prev_w0, prev_Ml, prev_Vl, prev_PHIl, maxl):
-    """Voiced component: [C, 160] sum over harmonics.
+    """Voiced component: [160, C] sum over harmonics (channel-minor).
 
     Windowed oscillator path (mbelib.c:970-1018) in closed form:
       prev: 2*prev_Ml * Ws[n+160] * cos(prev_PHIl + pw0*l*n)
       cur:  2*cur_Ml  * Ws[n]     * cos(cur_PHIl + cw0*l*(n-160))
     Interpolated path (mbelib.c:953-968) for l<8, both voiced, stable pitch.
+    Band inputs are [57, C]; the Pallas kernel consumes the [56, C] slices
+    directly (its lane layout has always been channel-minor — the prep
+    transposes it used to do are now free).
     """
     ws = np.asarray(T.Ws, np.float32)  # [321]
     w_cur = jnp.asarray(ws[:FRAME])        # Ws[n]
     w_prev = jnp.asarray(ws[FRAME:2 * FRAME])  # Ws[n+160]
 
-    li = jnp.asarray(_L_IDX_F[1:])[None, :, None]      # [1,56,1]
-    lii = _L_IDX_I[None, 1:]                           # [1,56]
-    n = jnp.asarray(_N_IDX)[None, None, :]             # [1,1,160]
+    li = jnp.asarray(_L_IDX_F[1:])[:, None, None]      # [56,1,1]
+    lii = _L_IDX_I[1:, None]                           # [56,1]
+    n = jnp.asarray(_N_IDX)[None, :, None]             # [1,160,1]
 
-    cw0 = cur_w0[:, None, None]
-    pw0 = prev_w0[:, None, None]
+    cw0 = cur_w0[None, None, :]
+    pw0 = prev_w0[None, None, :]
     cw0l = cw0 * li
     pw0l = pw0 * li
 
-    cur_v = (cur_Vl[:, 1:] == 1)
-    prev_v = (prev_Vl[:, 1:] == 1)
-    active = (lii <= maxl[:, None]) & (cur_v | prev_v)
+    cur_v = (cur_Vl[1:, :] == 1)
+    prev_v = (prev_Vl[1:, :] == 1)
+    active = (lii <= maxl[None, :]) & (cur_v | prev_v)
 
-    cphi = cur_PHIl[:, 1:, None]
-    pphi = prev_PHIl[:, 1:, None]
+    cphi = cur_PHIl[1:, None, :]
+    pphi = prev_PHIl[1:, None, :]
 
     # Interpolation eligibility (JMBE #134-138): only harmonics 1..7
     # (l < 8, mbelib.c:1032).
     NI = 7
-    use_interp7 = ((lii[:, :NI] < 8) & cur_v[:, :NI] & prev_v[:, :NI]
-                   & (jnp.abs(cur_w0 - prev_w0)[:, None]
-                      < jnp.float32(0.1) * cur_w0[:, None]))
+    use_interp7 = ((lii[:NI, :] < 8) & cur_v[:NI, :] & prev_v[:NI, :]
+                   & (jnp.abs(cur_w0 - prev_w0)[None, :]
+                      < jnp.float32(0.1) * cur_w0[None, :]))
     use_interp = jnp.concatenate(
-        [use_interp7, jnp.zeros((use_interp7.shape[0], 56 - NI), bool)],
-        axis=1)
+        [use_interp7, jnp.zeros((56 - NI, use_interp7.shape[1]), bool)],
+        axis=0)
 
     # Windowed oscillator components, structured as three independent
-    # multiply-cos-reduce chains so XLA fuses each into its [C,160] output
-    # without materializing [C,56,160] grids in HBM (the window factor does
+    # multiply-cos-reduce chains so XLA fuses each into its [160, C] output
+    # without materializing [56,160,C] grids in HBM (the window factor does
     # not depend on l, so it is applied AFTER the harmonic sum; this only
     # reorders f32 multiplies — SNR-level identical to the reference).
     gain_prev = jnp.where(prev_v & active & ~use_interp,
-                          2.0 * prev_Ml[:, 1:], 0.0)
+                          2.0 * prev_Ml[1:, :], 0.0)
     gain_cur = jnp.where(cur_v & active & ~use_interp,
-                         2.0 * cur_Ml[:, 1:], 0.0)
+                         2.0 * cur_Ml[1:, :], 0.0)
 
-    # Interpolated-path coefficients (JMBE #134-138), [C, 7] lane math.
-    lf7 = jnp.asarray(_L_IDX_F[1:NI + 1])[None, :]
-    deltaphil2 = (cur_PHIl[:, 1:NI + 1] - prev_PHIl[:, 1:NI + 1]
-                  - ((prev_w0 + cur_w0)[:, None] * lf7
+    # Interpolated-path coefficients (JMBE #134-138), [7, C] lane math.
+    lf7 = jnp.asarray(_L_IDX_F[1:NI + 1])[:, None]
+    deltaphil2 = (cur_PHIl[1:NI + 1, :] - prev_PHIl[1:NI + 1, :]
+                  - ((prev_w0 + cur_w0)[None, :] * lf7
                      * jnp.float32(FRAME)) / jnp.float32(2.0))
     deltawl2 = (jnp.float32(1.0 / FRAME)
                 * (deltaphil2 - TWO_PI * jnp.floor(
                     (deltaphil2 + jnp.float32(np.pi)) / TWO_PI)))
-    gi2 = jnp.where(use_interp7 & active[:, :NI], jnp.float32(2.0), 0.0)
+    gi2 = jnp.where(use_interp7 & active[:NI, :], jnp.float32(2.0), 0.0)
 
     if _use_pallas_voiced(cur_w0.shape[0]):
         from .pallas import voiced as pallas_voiced
-        alpha = prev_w0[:, None] * lf7 + deltawl2
-        q = (cur_w0 - prev_w0)[:, None] * lf7 / jnp.float32(2 * FRAME)
-        amp0 = gi2 * prev_Ml[:, 1:NI + 1]
-        damp = gi2 * (cur_Ml[:, 1:NI + 1] - prev_Ml[:, 1:NI + 1]) \
+        alpha = prev_w0[None, :] * lf7 + deltawl2
+        q = (cur_w0 - prev_w0)[None, :] * lf7 / jnp.float32(2 * FRAME)
+        amp0 = gi2 * prev_Ml[1:NI + 1, :]
+        damp = gi2 * (cur_Ml[1:NI + 1, :] - prev_Ml[1:NI + 1, :]) \
             * jnp.float32(1.0 / FRAME)
+        lcol = jnp.asarray(_L_IDX_F[1:])[:, None]
         return pallas_voiced.voiced_sums(
-            gain_prev, prev_PHIl[:, 1:], (prev_w0[:, None] * _L_IDX_F[1:]),
+            gain_prev, prev_PHIl[1:, :], prev_w0[None, :] * lcol,
             gain_cur,
-            cur_PHIl[:, 1:] - (cur_w0[:, None] * _L_IDX_F[1:]) * jnp.float32(FRAME),
-            (cur_w0[:, None] * _L_IDX_F[1:]),
-            amp0, damp, prev_PHIl[:, 1:NI + 1], alpha, q,
+            cur_PHIl[1:, :] - (cur_w0[None, :] * lcol) * jnp.float32(FRAME),
+            cur_w0[None, :] * lcol,
+            amp0, damp, prev_PHIl[1:NI + 1, :], alpha, q,
             w_prev, w_cur,
             # MBE_TPU_PALLAS_VOICED=1 off-TPU runs interpret mode so CI can
             # exercise the full kernel wiring (gains/phases/interp coeffs)
             interpret=jax.default_backend() != "tpu")
 
-    sum_prev = jnp.sum(gain_prev[..., None] * jnp.cos(pphi + pw0l * n),
-                       axis=1)
-    sum_cur = jnp.sum(gain_cur[..., None]
+    sum_prev = jnp.sum(gain_prev[:, None, :] * jnp.cos(pphi + pw0l * n),
+                       axis=0)
+    sum_cur = jnp.sum(gain_cur[:, None, :]
                       * jnp.cos(cphi + cw0l * (n - jnp.float32(FRAME))),
-                      axis=1)
-    out = w_prev[None, :] * sum_prev + w_cur[None, :] * sum_cur
+                      axis=0)
+    out = w_prev[:, None] * sum_prev + w_cur[:, None] * sum_cur
 
     # Interpolated path over the 7 eligible harmonics only.
-    li7 = li[:, :NI]
-    pphi7 = pphi[:, :NI]
-    pw0l7 = pw0l[:, :NI]
-    theta_ln = (pphi7 + (pw0l7 + deltawl2[..., None]) * n
+    li7 = li[:NI]
+    pphi7 = pphi[:NI]
+    pw0l7 = pw0l[:NI]
+    theta_ln = (pphi7 + (pw0l7 + deltawl2[:, None, :]) * n
                 + (cw0 - pw0) * li7 * n * n / jnp.float32(2 * FRAME))
-    aln = (prev_Ml[:, 1:NI + 1, None]
-           + (n / jnp.float32(FRAME)) * (cur_Ml[:, 1:NI + 1, None]
-                                         - prev_Ml[:, 1:NI + 1, None]))
-    out = out + jnp.sum(gi2[..., None] * aln * jnp.cos(theta_ln), axis=1)
-    return out  # [C, 160]
+    aln = (prev_Ml[1:NI + 1, None, :]
+           + (n / jnp.float32(FRAME)) * (cur_Ml[1:NI + 1, None, :]
+                                         - prev_Ml[1:NI + 1, None, :]))
+    out = out + jnp.sum(gi2[:, None, :] * aln * jnp.cos(theta_ln), axis=0)
+    return out  # [160, C]
 
 
 # ---------------------------------------------------------------------------
@@ -254,18 +265,18 @@ def render_voiced(cur_w0, cur_Ml, cur_Vl, cur_PHIl,
 # ---------------------------------------------------------------------------
 
 def band_of_bins(cur_w0):
-    """Exact per-bin band id [C, 129] (f32; -1 = no band).
+    """Exact per-bin band id [129, C] (f32; -1 = no band).
 
     The reference's band intervals tile the bin axis contiguously —
     b_max[l] = ceil((l+0.5)*mult) = a_min[l+1] (mbe_unvoiced_fft.c:643-661)
     — so bin k's band is floor(k/mult + 0.5) up to f32 rounding at the
     edges. Two correction rounds against the reference's own f32 edge
     expressions make the assignment match the C's ceil-based membership
-    bit-for-bit. One [C,129] map replaces the [C,57,129] membership masks
+    bit-for-bit. One [129, C] map replaces the per-band membership masks
     the round-2 code materialized twice."""
     mult = M_256_OVER_2PI * cur_w0  # [C]
-    kf = jnp.arange(FFT_SIZE // 2 + 1, dtype=jnp.float32)[None, :]  # [1,129]
-    m = mult[:, None]
+    kf = jnp.arange(FFT_SIZE // 2 + 1, dtype=jnp.float32)[:, None]  # [129,1]
+    m = mult[None, :]
     safe = m > 0.0
     band = jnp.floor(kf / jnp.where(safe, m, 1.0) + jnp.float32(0.5))
     for _ in range(2):
@@ -279,7 +290,8 @@ def band_of_bins(cur_w0):
 
 
 def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
-    """JMBE #117-126. Returns (unvoiced_add [C,160], new_previousUw [C,256]).
+    """JMBE #117-126. Returns (unvoiced_add [160, C], new_previousUw
+    [256, C]); band inputs [57, C], noise_buffer [256, C].
 
     The 256-pt real FFT pair runs as MXU matmuls (ops/fft.py). A fully
     fused VMEM-resident Pallas kernel for the stage exists
@@ -290,35 +302,39 @@ def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
     57-step band-gain gather costs the same either way. Kept opt-in
     (MBE_TPU_PALLAS_UNVOICED=1) with CI interpret-mode wiring."""
     _lazy_tables()
-    uw = noise_buffer * jnp.asarray(_WIN256)[None, :]
+    uw = noise_buffer * jnp.asarray(_WIN256)[:, None]  # [256, C]
 
     if _use_pallas("MBE_TPU_PALLAS_UNVOICED", cur_w0.shape[0], default="0"):
+        # the opt-in kernel keeps its original channel-major interface;
+        # boundary transposes are acceptable on an already-negative path
         from .pallas import unvoiced as pallas_unvoiced
         lmask = band_mask(cur_L) & (cur_Vl == 0)
         glm = jnp.where(lmask, UNVOICED_SCALE_COEFF * cur_Ml, 0.0)
-        glm = jnp.pad(glm, ((0, 0), (0, 64 - 57)))
+        glm = jnp.pad(glm.T, ((0, 0), (0, 64 - 57)))
         mult = (M_256_OVER_2PI * cur_w0)[:, None]
-        return pallas_unvoiced.unvoiced_wola(
-            uw, previous_uw, glm, mult,
+        add, uw_out = pallas_unvoiced.unvoiced_wola(
+            uw.T, previous_uw.T, glm, mult,
             interpret=jax.default_backend() != "tpu")
+        return add.T, uw_out.T
 
-    reim = fft_ops.rfft256_packed(uw)  # [C, 258] = [re | im], one matmul
-    Xre = reim[:, :fft_ops.NBINS]
-    Xim = reim[:, fft_ops.NBINS:]
+    reim = fft_ops.rfft256_packed(uw)  # [258, C] = [re | im], one matmul
+    Xre = reim[:fft_ops.NBINS, :]
+    Xim = reim[fft_ops.NBINS:, :]
 
-    # Band edges (mbe_unvoiced_fft.c:643-661), [C,57] for the counts only;
+    # Band edges (mbe_unvoiced_fft.c:643-661), [57, C] for the counts only;
     # per-bin membership goes through the exact band map (band_of_bins).
     mult = M_256_OVER_2PI * cur_w0  # [C]
-    lf = jnp.asarray(_L_IDX_F)[None, :]
-    a_min = jnp.maximum(jnp.ceil((lf - 0.5) * mult[:, None]), 0.0)
-    b_max = jnp.minimum(jnp.ceil((lf + 0.5) * mult[:, None]),
+    lf = jnp.asarray(_L_IDX_F)[:, None]
+    a_min = jnp.maximum(jnp.ceil((lf - 0.5) * mult[None, :]), 0.0)
+    b_max = jnp.minimum(jnp.ceil((lf + 0.5) * mult[None, :]),
                         jnp.float32(FFT_SIZE // 2))
     lmask = band_mask(cur_L) & (cur_Vl == 0)
 
-    band = band_of_bins(cur_w0)  # [C, 129]
-    mag2 = Xre * Xre + Xim * Xim  # [C, 129]
-    eq = band[:, None, :] == lf[..., None]  # fuses into the reduce below
-    numerator = jnp.sum(jnp.where(eq, mag2[:, None, :], 0.0), axis=-1)  # [C,57]
+    band = band_of_bins(cur_w0)  # [129, C]
+    mag2 = Xre * Xre + Xim * Xim  # [129, C]
+    eq = band[None, :, :] == lf[:, :1][..., None]  # [57, 129, C], fuses
+    numerator = jnp.sum(jnp.where(eq, mag2[None, :, :], 0.0),
+                        axis=1)  # [57, C]
     bin_count = b_max - a_min
     ok = lmask & (bin_count > 0) & (numerator > 1e-10)
     denom = jnp.where(bin_count > 0, bin_count, 1.0)
@@ -331,17 +347,17 @@ def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
     bin_scalor = jnp.zeros_like(mag2)
     for l in range(57):
         bin_scalor = jnp.where(band == jnp.float32(l),
-                               scalor[:, l:l + 1], bin_scalor)
-    scal2 = jnp.concatenate([bin_scalor, bin_scalor], axis=-1)  # [C, 258]
-    uw_out = fft_ops.irfft256_packed(reim * scal2)  # [C, 256], one matmul
+                               scalor[l:l + 1, :], bin_scalor)
+    scal2 = jnp.concatenate([bin_scalor, bin_scalor], axis=0)  # [258, C]
+    uw_out = fft_ops.irfft256_packed(reim * scal2)  # [256, C], one matmul
 
     # WOLA combine (mbe_unvoiced_fft.c:343-530)
-    zeros32 = jnp.zeros((uw_out.shape[0], 32), jnp.float32)
-    prev_part = jnp.concatenate([previous_uw[:, 128:], zeros32], axis=-1)  # [C,160]
-    curr_part = jnp.concatenate([zeros32, uw_out[:, :128]], axis=-1)       # [C,160]
-    wp = jnp.asarray(_W_PREV)[None, :]
-    wc = jnp.asarray(_W_CURR)[None, :]
-    dn = jnp.asarray(_W_DENOM)[None, :]
+    zeros32 = jnp.zeros((32, uw_out.shape[1]), jnp.float32)
+    prev_part = jnp.concatenate([previous_uw[128:, :], zeros32], axis=0)
+    curr_part = jnp.concatenate([zeros32, uw_out[:128, :]], axis=0)
+    wp = jnp.asarray(_W_PREV)[:, None]
+    wc = jnp.asarray(_W_CURR)[:, None]
+    dn = jnp.asarray(_W_DENOM)[:, None]
     add = jnp.where(dn > 1e-10, (wp * prev_part + wc * curr_part) / dn, 0.0)
     return add, uw_out
 
@@ -353,13 +369,15 @@ def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
 def parse_tone_fields(ambe_d):
     """AD / ID1 extraction from 49 AMBE bits (mbelib.c:760-789).
 
-    Returns (AD [C] i32, ID1 [C] i32)."""
+    ambe_d: [49, C] (channel-minor). Returns (AD [C] i32, ID1 [C] i32)."""
     d = ambe_d.astype(jnp.int32)
-    w12 = jnp.asarray(1 << np.arange(11, -1, -1, dtype=np.int64), jnp.int32)
-    u0 = jnp.sum(d[:, 0:12] * w12, axis=-1)
-    u1 = jnp.sum(d[:, 12:24] * w12, axis=-1)
-    w14 = jnp.asarray(1 << np.arange(13, -1, -1, dtype=np.int64), jnp.int32)
-    u3 = jnp.sum(d[:, 35:49] * w14, axis=-1)
+    w12 = jnp.asarray(1 << np.arange(11, -1, -1, dtype=np.int64),
+                      jnp.int32)[:, None]
+    u0 = jnp.sum(d[0:12, :] * w12, axis=0)
+    u1 = jnp.sum(d[12:24, :] * w12, axis=0)
+    w14 = jnp.asarray(1 << np.arange(13, -1, -1, dtype=np.int64),
+                      jnp.int32)[:, None]
+    u3 = jnp.sum(d[35:49, :] * w14, axis=0)
     ad = ((u0 & 0x3F) << 1) + ((u3 >> 4) & 0x1)
     id1 = (u1 & 0xFFF) >> 4
     return ad, id1
@@ -369,7 +387,7 @@ def render_tone(tone_id, amplitude_id, swn, tone_phase):
     """mbe_renderTonef (mbelib.c:707-736), batched with exact uint32 phases.
 
     Silence (all-zero output, state unchanged) for invalid tone ids or
-    freq1 <= 0. Returns (samples [C,160], swn', tonePhase').
+    freq1 <= 0. Returns (samples [160, C], swn', tonePhase').
     """
     _lazy_tables()
     tid = jnp.clip(tone_id, 0, 255)
@@ -396,24 +414,24 @@ def render_tone(tone_id, amplitude_id, swn, tone_phase):
     # so f32-accurate), and combine with sin(x+y) = sin x cos y + cos x
     # sin y — 104 transcendentals/channel instead of 320, no grids.
     rad = jnp.float32(2.0 * np.pi / 4294967296.0)
-    anchors = (jnp.arange(10, dtype=jnp.uint32) * 16 + 1)[None, :]  # nn @ b=0
-    boff = jnp.arange(16, dtype=jnp.float32)[None, :]
+    anchors = (jnp.arange(10, dtype=jnp.uint32) * 16 + 1)[:, None]  # nn @ b=0
+    boff = jnp.arange(16, dtype=jnp.float32)[:, None]
 
     def osc(phase0, step):
-        pha = phase0[:, None] + step[:, None] * anchors   # [C,10] exact u32
+        pha = phase0[None, :] + step[None, :] * anchors   # [10,C] exact u32
         tha = pha.astype(jnp.float32) * rad - jnp.float32(np.pi / 2.0)
-        sa, ca = jnp.sin(tha), jnp.cos(tha)               # [C, 10]
-        bs = step.astype(jnp.float32)[:, None] * rad * boff  # [C, 16]
+        sa, ca = jnp.sin(tha), jnp.cos(tha)               # [10, C]
+        bs = step.astype(jnp.float32)[None, :] * rad * boff  # [16, C]
         cb, sb = jnp.cos(bs), jnp.sin(bs)
-        s = sa[:, :, None] * cb[:, None, :] + ca[:, :, None] * sb[:, None, :]
-        return s.reshape(step.shape[0], FRAME)            # [C, 160]
+        s = sa[:, None, :] * cb[None, :, :] + ca[:, None, :] * sb[None, :, :]
+        return s.reshape(FRAME, step.shape[0])            # [160, C]
 
     s1 = osc(swn, step1)
     s2 = osc(tone_phase, step2)
-    samples = jnp.where(dual[:, None],
-                        0.5 * gain[:, None] * s1 + 0.5 * gain[:, None] * s2,
-                        gain[:, None] * s1)
-    samples = jnp.where(active[:, None], samples, 0.0)
+    samples = jnp.where(dual[None, :],
+                        0.5 * gain[None, :] * s1 + 0.5 * gain[None, :] * s2,
+                        gain[None, :] * s1)
+    samples = jnp.where(active[None, :], samples, 0.0)
 
     # exact uint32 phase-accumulator state update (no [C,160] grid needed)
     n160 = jnp.uint32(FRAME)
@@ -423,14 +441,15 @@ def render_tone(tone_id, amplitude_id, swn, tone_phase):
 
 
 def dstar_tone_id(ambe_d):
-    """AMBE2400 scrambled tone index (ambe3600x2400.c:177-199)."""
+    """AMBE2400 scrambled tone index (ambe3600x2400.c:177-199).
+    ambe_d: [49, C] (channel-minor)."""
     d = ambe_d.astype(jnp.int32)
-    defv = (d[:, 6] << 2) | (d[:, 7] << 1) | d[:, 8]
+    defv = (d[6] << 2) | (d[7] << 1) | d[8]
     t7 = bit_ops.lut1d(defv, np.asarray(T.dstar_t7tab, np.int32))
     t6 = bit_ops.lut1d(defv, np.asarray(T.dstar_t6tab, np.int32))
     t5 = bit_ops.lut1d(defv, np.asarray(T.dstar_t5tab, np.int32))
-    return ((t7 << 7) | (t6 << 6) | (t5 << 5) | (d[:, 9] << 4)
-            | (d[:, 42] << 3) | (d[:, 43] << 2) | (d[:, 10] << 1) | d[:, 11])
+    return ((t7 << 7) | (t6 << 6) | (t5 << 5) | (d[9] << 4)
+            | (d[42] << 3) | (d[43] << 2) | (d[10] << 1) | d[11])
 
 
 # ---------------------------------------------------------------------------

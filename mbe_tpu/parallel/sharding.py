@@ -2,9 +2,10 @@
 
 The decoder has no cross-channel math (SURVEY.md §5: each stream's state
 lives on one chip; no collectives in the hot path), so multi-chip scaling is
-a `jax.sharding.Mesh` over channels with every [C, ...] leaf sharded on its
-leading axis. Host I/O per channel is tiny (<=96 bits in, 320 B PCM out per
-20 ms), ideal for double-buffered device_put + donated state.
+a `jax.sharding.Mesh` over channels with every leaf sharded on its channel
+axis (trailing for the channel-minor state leaves, leading for the public
+frame/PCM arrays). Host I/O per channel is tiny (<=96 bits in, 320 B PCM
+out per 20 ms), ideal for double-buffered device_put + donated state.
 """
 
 
@@ -24,9 +25,14 @@ def channel_mesh(devices=None, axis_name: str = "ch") -> Mesh:
 
 def shard_state(state: state_mod.ChannelState, mesh: Mesh,
                 axis_name: str = "ch") -> state_mod.ChannelState:
-    """Shard every [C, ...] leaf along its leading (channel) axis."""
+    """Shard every state leaf along its channel axis.
+
+    State leaves are channel-MINOR (scalars [C], band arrays [57, C] —
+    models/state.py), so the sharded axis is the trailing one. Frame
+    inputs and PCM outputs stay channel-major and are sharded on their
+    leading axis by the step/sequence wrappers below."""
     def put(x):
-        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        spec = P(*([None] * (x.ndim - 1)), axis_name)
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree.map(put, state)
 

@@ -72,7 +72,11 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
         config compiles a different executable, same as a different #define
         builds a different reference library.
     Returns:
-      (state', audio [C, 160] f32, result dict of [C] arrays, ambe_d)
+      (state', audio [C, 160] f32, result dict of [C] arrays, ambe_d
+      [C, nbits]) — the public in/out layout stays channel-major; the
+      internal compute (and the carried state) is channel-minor, with one
+      [160, C] -> [C, 160] audio transpose and one tiny ambe_d transpose
+      at the exit.
     """
     tones_enabled = config.tones_enabled
     soft = soft_rel is not None
@@ -141,21 +145,22 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
     res = _result(c0, prot, c4, _pack_flags(base, fsm))
     if lanes_valid is None:
         res["status"] = jnp.zeros_like(c0)
-        return new_state, audio, res, d
+        return new_state, audio.T, res, d.T
 
     # invalid lanes: silence out, state rolled back, zeroed result counts
-    # (the C returns MBE_STATUS_INVALID_BITS before touching anything)
+    # (the C returns MBE_STATUS_INVALID_BITS before touching anything).
+    # State leaves are channel-minor: the mask broadcasts on leading axes.
     def lane_sel(new, old):
-        v = lanes_valid.reshape((-1,) + (1,) * (new.ndim - 1))
+        v = lanes_valid.reshape((1,) * (new.ndim - 1) + (-1,))
         return jnp.where(v, new, old)
 
     new_state = jax.tree.map(lane_sel, new_state, state)
-    audio = jnp.where(lanes_valid[:, None], audio, 0.0)
+    audio = jnp.where(lanes_valid[None, :], audio, 0.0)
     res = {k: jnp.where(lanes_valid, v, 0) for k, v in res.items()}
     res["status"] = jnp.where(lanes_valid, STATUS_OK,
                               STATUS_INVALID_BITS).astype(jnp.int32)
-    d = jnp.where(lanes_valid[:, None], d, 0)
-    return new_state, audio, res, d
+    d = jnp.where(lanes_valid[None, :], d, 0)
+    return new_state, audio.T, res, d.T
 
 
 def step_int16(codec: str, frame, state: ChannelState, soft_rel=None,

@@ -93,11 +93,12 @@ def test_prng_keywords_match_bit_keystream():
     seed = (16 * rng.integers(0, 4096, 64)).astype(np.int32)
     widths = (23, 23, 23, 15, 15, 15)
     kw = np.asarray(jax.jit(
-        lambda s: demod.prng_keywords(s, widths))(seed))
-    pr = np.asarray(jax.jit(lambda s: demod.prng_bits(s, sum(widths)))(seed))
+        lambda s: demod.prng_keywords(s, widths))(seed))  # [rows, C]
+    pr = np.asarray(jax.jit(
+        lambda s: demod.prng_bits(s, sum(widths)))(seed))  # [bits, C]
     k = 0
     for r, w in enumerate(widths):
-        expect = (pr[:, k:k + w][:, ::-1]
-                  * (1 << np.arange(w))).sum(axis=1)
-        np.testing.assert_array_equal(kw[:, r], expect)
+        expect = (pr[k:k + w][::-1]
+                  * (1 << np.arange(w))[:, None]).sum(axis=0)
+        np.testing.assert_array_equal(kw[r], expect)
         k += w

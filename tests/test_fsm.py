@@ -39,7 +39,7 @@ def test_imbe_fundamental_tables():
 def test_ambe2450_silence_models():
     """W124 -> L=15, W125 -> L=14 silence frames (test_params.c:322-341)."""
     state = st.init_state(2)
-    d = np.stack([_ambe_d_with_b0(124), _ambe_d_with_b0(125)])
+    d = np.stack([_ambe_d_with_b0(124), _ambe_d_with_b0(125)], axis=1)
 
     @jax.jit
     def run(d, cur, prev):
@@ -49,9 +49,9 @@ def test_ambe2450_silence_models():
     cur, prev, bad = run(d, state.cur, state.prev)
     np.testing.assert_array_equal(np.asarray(bad), 0)
     np.testing.assert_array_equal(np.asarray(cur.L), [15, 14])
-    vl = np.asarray(cur.Vl)
-    assert (vl[0, 1:16] == 0).all()
-    assert (vl[1, 1:15] == 0).all()
+    vl = np.asarray(cur.Vl)  # [57, C]
+    assert (vl[1:16, 0] == 0).all()
+    assert (vl[1:15, 1] == 0).all()
     w0 = np.asarray(cur.w0)
     assert abs(w0[0] - (np.pi / 32) * 2 * np.pi) < 1e-5
 
@@ -69,7 +69,7 @@ def test_ambe2450_tone_ber_gate():
     def run(d, cur, prev, te):
         return ambe.decode_ambe2450_parms(d, cur, prev, te)
 
-    _, _, bad = run(d, state.cur, state.prev, te)
+    _, _, bad = run(d.T, state.cur, state.prev, te)
     bad = np.asarray(bad)
     assert bad[0] == 7  # tone
     # b0 with bits 0..3 set = 0b1111000+... = (15<<3)=120 -> erasure
@@ -82,7 +82,7 @@ def test_erasure_model_w120():
     state = st.init_state(1)
     prev = dataclasses.replace(
         state.prev,
-        PHIl=jnp.full((1, 57), 0.5, jnp.float32),
+        PHIl=jnp.full((57, 1), 0.5, jnp.float32),
         noiseSeed=jnp.full((1,), 777.0, jnp.float32))
     cur = dataclasses.replace(state.cur, repeatCount=jnp.zeros(1, jnp.int32))
     out = st.erasure_parms(cur, prev)
@@ -98,7 +98,7 @@ def test_repeat_decision_without_c0_context():
     (test_params.c:343-395)."""
     c = 4
     state = st.init_state(c)
-    d = np.tile(_ambe_d_with_b0(40), (c, 1))
+    d = np.tile(_ambe_d_with_b0(40)[:, None], (1, c))
     totals = jnp.array([0, 3, 4, 10], jnp.int32)
     zeros = jnp.zeros(c, jnp.int32)
     novalid = jnp.zeros(c, bool)
@@ -130,8 +130,8 @@ def test_mute_policy_imbe_vs_ambe():
 
 def test_amplitude_threshold_may_go_negative():
     """Tm = 6000 - 300*errors + prev may go negative (test_params.c:573-594)."""
-    Ml = jnp.ones((1, 57), jnp.float32)
-    Vl = jnp.zeros((1, 57), jnp.int32)
+    Ml = jnp.ones((57, 1), jnp.float32)
+    Vl = jnp.zeros((57, 1), jnp.int32)
     L = jnp.full((1,), 20, jnp.int32)
     _, _, _, tm = enhance.adaptive_smoothing(
         Ml, Vl, L,
@@ -148,22 +148,22 @@ def test_psil_wrap():
     """PSIl wraps into [0, 2pi) during phase update (test_params.c:551-571)."""
     from mbe_tpu.ops import synth
     c = 1
-    psi_old = jnp.full((c, 57), -1.0, jnp.float32)
-    phi_old = jnp.zeros((c, 57), jnp.float32)
-    prev_psi = jnp.full((c, 57), 100.0, jnp.float32)
-    nb = jnp.zeros((c, 256), jnp.float32)
+    psi_old = jnp.full((57, c), -1.0, jnp.float32)
+    phi_old = jnp.zeros((57, c), jnp.float32)
+    prev_psi = jnp.full((57, c), 100.0, jnp.float32)
+    nb = jnp.zeros((256, c), jnp.float32)
     cur_psi, cur_phi, wrapped = synth.update_phases(
         jnp.full((c,), 0.3, jnp.float32), jnp.full((c,), 20, jnp.int32),
         psi_old, phi_old, jnp.full((c,), 0.3, jnp.float32), prev_psi, nb,
         jnp.zeros((c,), jnp.int32))
-    w = np.asarray(wrapped)[0, 1:]
+    w = np.asarray(wrapped)[1:, 0]
     assert (w >= 0).all() and (w < 2 * np.pi).all()
 
 
 def test_num_uv_counts_index_zero():
     """numUv includes band index 0 (test_params.c:620-642)."""
     from mbe_tpu.ops import synth
-    Vl = np.ones((1, 57), np.int32)
+    Vl = np.ones((57, 1), np.int32)
     Vl[0, 0] = 0  # index 0 unvoiced
     n = int(np.asarray(synth.count_unvoiced(jnp.asarray(Vl),
                                             jnp.full((1,), 10, jnp.int32)))[0])
@@ -232,7 +232,7 @@ def test_tone_id_validity_independent_of_u1_low_nibble():
         return ambe.decode_ambe2450_parms(dd, cur, prev,
                                           jnp.zeros(2, jnp.int32))
 
-    _, _, bad = run(d, state.cur, state.prev)
+    _, _, bad = run(d.T, state.cur, state.prev)
     np.testing.assert_array_equal(np.asarray(bad), [7, 7])
 
 
@@ -246,7 +246,7 @@ def test_muted_frames_advance_smoothing_state():
         repeatCount=jnp.full((1,), 4, jnp.int32),  # forces mute
         errorRate=jnp.full((1,), 0.2, jnp.float32),
         errorCountTotal=jnp.full((1,), 50, jnp.int32))
-    cn = jnp.zeros((1, 160), jnp.float32)
+    cn = jnp.zeros((160, 1), jnp.float32)
     rm0 = jnp.full((1,), 12345.0, jnp.float32)
 
     @jax.jit
@@ -270,7 +270,7 @@ def test_imbe_recovers_from_ambe_threshold_contamination():
     state = st.init_state(1)
     contaminated = dataclasses.replace(
         state.cur, mutingThreshold=jnp.full((1,), 0.096, jnp.float32))
-    d = np.zeros((1, 88), np.int32)  # b0=0 -> valid voice frame
+    d = np.zeros((88, 1), np.int32)  # b0=0 -> valid voice frame
     te = jnp.zeros((1,), jnp.int32)
     tm = jnp.ones((1,), bool)
 
@@ -290,7 +290,7 @@ def test_c4_context_drives_error_count4():
     """IMBE prepare copies c4_errors into errorCount4 only when the C4
     context flag is valid (imbe7200x4400.c:798-801, test_params.c:644-703)."""
     state = st.init_state(2)
-    d = np.zeros((2, 88), np.int32)
+    d = np.zeros((88, 2), np.int32)
     te = jnp.zeros((2,), jnp.int32)
     c4 = jnp.array([3, 3], jnp.int32)
     c4v = jnp.array([True, False])

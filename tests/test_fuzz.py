@@ -162,14 +162,17 @@ def test_invalid_lane_isolation(vectors):
     assert int(np.asarray(res_mix["status"])[0]) == 0
     assert int(np.asarray(res_mix["status"])[1]) == -2
     assert int(np.asarray(res_mix["total_errors"])[1]) == 0
-    # lane 1 state rolled back to its pre-step value
+    # lane 1 state rolled back to its pre-step value (channel axis is
+    # trailing on state leaves)
     ok = jax.tree.map(
-        lambda a, b: np.array_equal(np.asarray(a)[1], np.asarray(b)[1]),
+        lambda a, b: np.array_equal(np.asarray(a)[..., 1],
+                                    np.asarray(b)[..., 1]),
         st_mix, state)
     assert all(jax.tree.leaves(ok))
     # lane 0 state identical to the all-valid run
     ok0 = jax.tree.map(
-        lambda a, b: np.array_equal(np.asarray(a)[0], np.asarray(b)[0]),
+        lambda a, b: np.array_equal(np.asarray(a)[..., 0],
+                                    np.asarray(b)[..., 0]),
         st_mix, st_ref)
     assert all(jax.tree.leaves(ok0))
 

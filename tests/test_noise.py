@@ -13,11 +13,11 @@ def test_lcg_block_exact():
     rng = np.random.default_rng(0)
     st = rng.integers(0, 53125, 64).astype(np.int32)
     samp, nxt = jax.jit(lambda s: noise.lcg_block(s, 160))(st)
-    samp, nxt = np.asarray(samp), np.asarray(nxt)
+    samp, nxt = np.asarray(samp), np.asarray(nxt)  # samp [160, C]
     for i in range(64):
         s = int(st[i])
         for k in range(160):
-            assert samp[i, k] == s
+            assert samp[k, i] == s
             s = (171 * s + 11213) % 53125
         assert nxt[i] == s
 
@@ -26,11 +26,11 @@ def test_demod_prng_exact():
     rng = np.random.default_rng(1)
     seeds = (rng.integers(0, 4096, 64) * 16).astype(np.int32)
     out = np.asarray(jax.jit(lambda s: demod.prng_bits(s, 114))(seeds))
-    for i in range(64):
+    for i in range(64):  # out [114, C]
         pr = int(seeds[i])
         for k in range(114):
             pr = (173 * pr + 13849) % 65536
-            assert out[i, k] == (pr >> 15)
+            assert out[k, i] == (pr >> 15)
 
 
 def test_java_random_exact():
@@ -41,7 +41,7 @@ def test_java_random_exact():
         return noise.comfort_noise(noise.java_random_init(s), 160)
 
     samp, _ = run(jnp.full((2,), seed, jnp.uint32))
-    samp = np.asarray(samp)
+    samp = np.asarray(samp)  # [160, C]
 
     seed48 = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
     gain = np.float32((0.003 * 32767.0) / 7.0)
@@ -50,8 +50,8 @@ def test_java_random_exact():
         v = seed48 >> 24
         u = (np.float32(v) / np.float32(16777216.0)) * np.float32(2.0) \
             - np.float32(1.0)
-        assert samp[0, k] == np.float32(u * gain)
-    np.testing.assert_array_equal(samp[0], samp[1])
+        assert samp[k, 0] == np.float32(u * gain)
+    np.testing.assert_array_equal(samp[:, 0], samp[:, 1])
 
 
 def test_cold_start_emits_zero_buffer_then_primes():
@@ -63,17 +63,17 @@ def test_cold_start_emits_zero_buffer_then_primes():
         return noise.generate_noise_with_overlap(seed, overlap, prime)
 
     seed = jnp.array([-1.0, -1.0, 100.0, 0.0], jnp.float32)
-    overlap = jnp.full((c, 96), 7.0, jnp.float32)
+    overlap = jnp.full((96, c), 7.0, jnp.float32)
     prime = jnp.array([3147.0, 555.0, 3147.0, 3147.0], jnp.float32)
     buf, new_seed, new_ov = jax.tree.map(np.asarray, run(seed, overlap, prime))
 
-    np.testing.assert_array_equal(buf[0], 0.0)
-    np.testing.assert_array_equal(new_ov[0], 0.0)
+    np.testing.assert_array_equal(buf[:, 0], 0.0)
+    np.testing.assert_array_equal(new_ov[:, 0], 0.0)
     assert new_seed[0] == 3147.0
     assert new_seed[1] == 555.0
     # warm lane: head = overlap, tail = LCG from seed
-    np.testing.assert_array_equal(buf[2, :96], 7.0)
-    assert buf[2, 96] == 100.0
+    np.testing.assert_array_equal(buf[:96, 2], 7.0)
+    assert buf[96, 2] == 100.0
     assert new_seed[2] == np.float32((171 ** 160 * 100 + _b160()) % 53125)
 
 

@@ -31,8 +31,9 @@ def test_voiced_kernel_matches_closed_form():
     wp = rng.uniform(0, 1, 160).astype(np.float32)
     wc = rng.uniform(0, 1, 160).astype(np.float32)
     out = pv.voiced_sums(
-        *(jnp.asarray(x) for x in (g1, p1, s1, g2, p2, s2, a0, da, ip, al, q,
-                                   wp, wc)),
+        *(jnp.asarray(x.T) for x in (g1, p1, s1, g2, p2, s2, a0, da, ip, al,
+                                     q)),  # kernel-native [56|7, C]
+        jnp.asarray(wp), jnp.asarray(wc),
         interpret=True)
     n = np.arange(160)[None, None, :]
     ref_p = np.sum(g1[:, :, None] * np.cos(p1[:, :, None] + s1[:, :, None] * n),
@@ -43,9 +44,9 @@ def test_voiced_kernel_matches_closed_form():
     ref_i = np.sum((a0[:, :, None] + da[:, :, None] * n)
                    * np.cos(ip[:, :, None] + al[:, :, None] * n
                             + q[:, :, None] * n * n), axis=1)
-    ref = wp[None, :] * ref_p + wc[None, :] * ref_c + ref_i
+    ref = wp[None, :] * ref_p + wc[None, :] * ref_c + ref_i  # [C, 160]
     scale = np.abs(ref).max()
-    assert np.abs(np.asarray(out) - ref).max() / scale < 2e-4
+    assert np.abs(np.asarray(out).T - ref).max() / scale < 2e-4
 
 
 def test_soft_ecc_kernel_matches_xla():
@@ -104,12 +105,12 @@ def test_render_voiced_pallas_wiring_matches_xla(monkeypatch):
     # half the lanes pitch-stable (interp-eligible), half not
     jitter = np.where(rng.random(c) < 0.5, 1.01, 1.5).astype(np.float32)
     pw0 = cw0 * jnp.asarray(jitter)
-    cMl = jnp.asarray(rng.random((c, 57)).astype(np.float32) * 2)
-    pMl = jnp.asarray(rng.random((c, 57)).astype(np.float32) * 2)
-    cVl = jnp.asarray((rng.random((c, 57)) < 0.7).astype(np.int32))
-    pVl = jnp.asarray((rng.random((c, 57)) < 0.7).astype(np.int32))
-    cPhi = jnp.asarray((rng.random((c, 57)) * 6.28).astype(np.float32))
-    pPhi = jnp.asarray((rng.random((c, 57)) * 6.28).astype(np.float32))
+    cMl = jnp.asarray(rng.random((57, c)).astype(np.float32) * 2)
+    pMl = jnp.asarray(rng.random((57, c)).astype(np.float32) * 2)
+    cVl = jnp.asarray((rng.random((57, c)) < 0.7).astype(np.int32))
+    pVl = jnp.asarray((rng.random((57, c)) < 0.7).astype(np.int32))
+    cPhi = jnp.asarray((rng.random((57, c)) * 6.28).astype(np.float32))
+    pPhi = jnp.asarray((rng.random((57, c)) * 6.28).astype(np.float32))
     maxl = jnp.asarray(rng.integers(9, 57, c, dtype=np.int32))
     args = (cw0, cMl, cVl, cPhi, pw0, pMl, pVl, pPhi, maxl)
 
@@ -137,10 +138,10 @@ def test_unvoiced_pallas_wiring_matches_xla(monkeypatch):
     L = rng.integers(9, 57, c).astype(np.int32)
     w0 = (2.0 * np.pi * 0.4875 / (L + 0.25)).astype(np.float32)
     args = (jnp.asarray(w0), jnp.asarray(L),
-            jnp.asarray(rng.uniform(0, 500, (c, 57)).astype(np.float32)),
-            jnp.asarray(rng.integers(0, 2, (c, 57)).astype(np.int32)),
-            jnp.asarray(rng.uniform(-400, 400, (c, 256)).astype(np.float32)),
-            jnp.asarray(rng.uniform(0, 53125, (c, 256)).astype(np.float32)))
+            jnp.asarray(rng.uniform(0, 500, (57, c)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 2, (57, c)).astype(np.int32)),
+            jnp.asarray(rng.uniform(-400, 400, (256, c)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, 53125, (256, c)).astype(np.float32)))
 
     monkeypatch.setenv("MBE_TPU_PALLAS_UNVOICED", "0")
     add_ref, uw_ref = (np.asarray(x) for x in synth.unvoiced_fft(*args))
@@ -201,4 +202,4 @@ def test_render_tone_angle_addition_matches_grid():
         np.asarray(tp_out),
         np.where(active & dual, tp + st2 * np.uint32(160), tp))
     scale = max(np.abs(ref).max(), 1e-3)
-    assert np.abs(np.asarray(s_out) - ref).max() / scale < 5e-4
+    assert np.abs(np.asarray(s_out).T - ref).max() / scale < 5e-4

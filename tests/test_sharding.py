@@ -108,4 +108,5 @@ def test_shard_state_places_leading_axis():
     state = sharding.shard_state(st.init_state(ndev * 2), mesh)
     for leaf in jax.tree.leaves(state):
         assert len(leaf.addressable_shards) == ndev
-        assert leaf.addressable_shards[0].data.shape[0] == 2
+        # channel axis is trailing on state leaves (channel-minor layout)
+        assert leaf.addressable_shards[0].data.shape[-1] == 2

@@ -22,7 +22,9 @@ def test_staged_equals_frame_decode_ambe():
         return d, c0, prot, d_ref, c0_ref, prot_ref
 
     d, c0, prot, d_ref, c0_ref, prot_ref = jax.tree.map(np.asarray, run(frame))
-    np.testing.assert_array_equal(d, d_ref)
+    # staged API is public channel-major; the internal frame decode is
+    # channel-minor (models/state.py round-3 layout)
+    np.testing.assert_array_equal(d, d_ref.T)
     np.testing.assert_array_equal(c0, c0_ref)
     np.testing.assert_array_equal(prot, prot_ref)
 
@@ -41,7 +43,7 @@ def test_staged_equals_frame_decode_imbe7200():
 
     out = jax.tree.map(np.asarray, run(frame))
     d, c0, prot, c4, d_ref, c0_ref, prot_ref, c4_ref = out
-    np.testing.assert_array_equal(d, d_ref)
+    np.testing.assert_array_equal(d, d_ref.T)
     np.testing.assert_array_equal(c0, c0_ref)
     np.testing.assert_array_equal(prot, prot_ref)
     np.testing.assert_array_equal(c4, c4_ref)
@@ -62,7 +64,7 @@ def test_staged_equals_frame_decode_imbe7100():
 
     out = jax.tree.map(np.asarray, run(frame))
     d, c0, prot, c4, d_ref, c0_ref, prot_ref, c4_ref = out
-    np.testing.assert_array_equal(d, d_ref)
+    np.testing.assert_array_equal(d, d_ref.T)
     np.testing.assert_array_equal(c0, c0_ref)
     np.testing.assert_array_equal(prot, prot_ref)
     np.testing.assert_array_equal(c4, c4_ref)

@@ -46,8 +46,8 @@ def test_tone_phase_accumulator_exact():
 
     # lane 1: dual tone advances both phases
     assert np.asarray(tp2)[1] != 7
-    # lane 2: invalid id -> silence, state preserved
-    np.testing.assert_array_equal(samples[2], 0.0)
+    # lane 2: invalid id -> silence, state preserved (samples are [160, C])
+    np.testing.assert_array_equal(samples[:, 2], 0.0)
     assert np.asarray(swn2)[2] == 9 and np.asarray(tp2)[2] == 11
 
 

@@ -64,9 +64,10 @@ def measure(fn, channels, steps, reps=3):
 # unvoiced windowing too) and inflating the stubbed stage's apparent share.
 
 
-def _bcast(x, shape):
-    """Cheap non-foldable filler: broadcast of an input column."""
-    return jnp.broadcast_to(x.reshape(x.shape[0], -1)[:, :1], shape)
+def _bcast_minor(x, shape):
+    """Cheap non-foldable filler: broadcast of an input row (channel-minor:
+    the trailing axis is C, so take one leading row and broadcast)."""
+    return jnp.broadcast_to(x.reshape(-1, x.shape[-1])[:1, :], shape)
 
 
 ABLATIONS = {
@@ -81,33 +82,34 @@ ABLATIONS = {
                          block.astype(jnp.int32),
                          (block & 1).astype(jnp.int32))),
     "demod_prng": (demod, "prng_keywords",
-                   lambda seed, widths: _bcast(
-                       seed & 1, (seed.shape[0],
-                                  len(widths))).astype(jnp.int32)),
+                   lambda seed, widths: _bcast_minor(
+                       (seed & 1)[None, :], (len(widths),
+                                             seed.shape[0])).astype(jnp.int32)),
     "param_decode": (imbe, "decode_imbe4400_parms",
-                     lambda d, cur, prev: (cur, prev, d[:, 0])),
+                     lambda d, cur, prev: (cur, prev, d[0, :])),
     "spectral_update": (spectral, "spectral_update",
                         lambda cur_L, prev_L, prev_Ml, prev_log2Ml, Tl, *,
                         weight, cur_Ml, cur_log2Ml: (
                             cur_Ml + Tl, cur_log2Ml, prev_Ml, prev_log2Ml,
                             cur_L)),
     "enhance": (enhance, "spectral_amp_enhance",
-                lambda w0, L, Ml: (Ml, jnp.sum(Ml * Ml, axis=-1))),
+                lambda w0, L, Ml: (Ml, jnp.sum(Ml * Ml, axis=0))),
     "smoothing": (enhance, "adaptive_smoothing",
                   lambda Ml, Vl, L, er, et, e4, le, at, rm0: (Ml, Vl, le, at)),
     "voiced": (synth, "render_voiced",
                lambda cw0, cMl, cVl, cPhi, pw0, pMl, pVl, pPhi, maxl:
-               _bcast(cMl, (cw0.shape[0], 160))),
+               _bcast_minor(cMl, (160, cw0.shape[0]))),
     "unvoiced_fft": (synth, "unvoiced_fft",
                      lambda w0, L, Ml, Vl, puw, nb: (
-                         _bcast(Ml, (w0.shape[0], 160)), puw)),
+                         _bcast_minor(Ml, (160, w0.shape[0])), puw)),
     "lcg_noise": (noise, "generate_noise_with_overlap",
                   lambda seed, overlap, prime: (
-                      _bcast(overlap, (seed.shape[0], 256)), seed, overlap)),
+                      _bcast_minor(overlap, (256, seed.shape[0])),
+                      seed, overlap)),
     "comfort": (noise, "comfort_noise",
                 lambda limbs, n=160: (
-                    _bcast(limbs.astype(jnp.float32),
-                           (limbs.shape[0], n)), limbs)),
+                    _bcast_minor(limbs.astype(jnp.float32),
+                                 (n, limbs.shape[-1])), limbs)),
     "phases": (synth, "update_phases",
                lambda w0, L, psi, phi, pw0, ppsi, nb, nuv: (psi, phi, ppsi)),
 }

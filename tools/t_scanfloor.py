@@ -74,19 +74,19 @@ fbytes = sum(x.nbytes for x in leaves
 ibytes = sum(x.nbytes for x in leaves if x.dtype == jnp.int32) // C // 4
 ubytes = sum(x.nbytes for x in leaves if x.dtype == jnp.uint32) // C // 4
 print(f"packed cols: f32 {fbytes}, i32 {ibytes}, u32 {ubytes}")
-packed = (jnp.zeros((C, fbytes), jnp.float32),
-          jnp.zeros((C, max(ibytes, 1)), jnp.int32),
-          jnp.zeros((C, max(ubytes, 1)), jnp.uint32))
+packed = (jnp.zeros((fbytes, C), jnp.float32),
+          jnp.zeros((max(ibytes, 1), C), jnp.int32),
+          jnp.zeros((max(ubytes, 1), C), jnp.uint32))
 timeit("touch-all scan (3 packed)", make_scan(packed), packed)
 
-# middle ground: [C,57]/[C,256]/[C,96] arrays separate, the ~17 [C]
-# scalars packed into one [C,17] block per Parms
+# middle ground: [57,C]/[256,C]/[96,C] arrays separate, the ~17 [C]
+# scalars packed into one [17,C] block per Parms
 arrs = tuple(x for x in leaves if x.ndim > 1)
 nscal = len(leaves) - len(arrs)
-mid = (jnp.zeros((C, nscal), jnp.float32),) + arrs
+mid = (jnp.zeros((nscal, C), jnp.float32),) + arrs
 print(f"mid: {len(mid)} leaves")
 timeit("touch-all scan (scalars packed)", make_scan(mid), mid)
 
 # bandwidth reference: one [C, total/4] f32 block, same total bytes
-one = jnp.zeros((C, nbytes // C // 4), jnp.float32)
+one = jnp.zeros((nbytes // C // 4, C), jnp.float32)
 timeit("touch-all scan (1 leaf)", make_scan(one), one)

@@ -32,6 +32,13 @@ import time
 
 import jax
 
+# jax may be pre-imported by a .pth hook before this script runs, in which
+# case JAX_PLATFORMS from the environment is read too late; re-apply it
+# (no-op where the env var is honored normally or unset).
+_p = os.environ.get("JAX_PLATFORMS") or os.environ.get("JAX_PLATFORM_NAME")
+if _p:
+    jax.config.update("jax_platforms", _p)
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("MBE_TPU_JAX_CACHE", "/tmp/jaxcache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -90,7 +97,42 @@ def bench(codec="imbe7200", channels=8192, steps=50, reps=3, soft=False):
     return fps, compile_s
 
 
+def _device_probe(timeout_s):
+    """Bounded device-liveness check in a subprocess.
+
+    Backend init over the TPU tunnel hangs indefinitely when the tunnel is
+    down; probing in a child process (fresh backend) with a timeout turns
+    that into a fast, clearly-attributed failure instead of a silent hang.
+    """
+    import subprocess
+    # jax is pre-imported by a .pth hook on this machine, so JAX_PLATFORMS
+    # in the child's env is read too late; re-apply it via jax.config.
+    code = ("import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS') "
+            "or os.environ.get('JAX_PLATFORM_NAME')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "import jax.numpy as jnp\n"
+            "x = jnp.ones((8, 8))\n"
+            "(x @ x).block_until_ready()\n"
+            "print('MBE_PROBE_OK', jax.devices())\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+        return "MBE_PROBE_OK" in r.stdout, (r.stdout + r.stderr)[-500:]
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s}s"
+
+
 def main():
+    if os.environ.get("MBE_BENCH_PROBE", "1") != "0":
+        ok, detail = _device_probe(
+            int(os.environ.get("MBE_BENCH_PROBE_TIMEOUT", "300")))
+        if not ok:
+            print("# bench.py: device backend unavailable (TPU tunnel "
+                  f"down?) -- failing fast.\n# probe: {detail}",
+                  file=sys.stderr)
+            sys.exit(2)
+
     channels = int(os.environ.get("MBE_BENCH_CHANNELS", "32768"))
     soft_channels = int(os.environ.get("MBE_BENCH_SOFT_CHANNELS", "8192"))
     steps = int(os.environ.get("MBE_BENCH_STEPS", "50"))

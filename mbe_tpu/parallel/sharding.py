@@ -32,9 +32,16 @@ def shard_state(state: state_mod.ChannelState, mesh: Mesh,
     inputs and PCM outputs stay channel-major and are sharded on their
     leading axis by the step/sequence wrappers below."""
     def put(x):
-        spec = P(*([None] * (x.ndim - 1)), axis_name)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, state_spec(x, axis_name)))
     return jax.tree.map(put, state)
+
+
+def state_spec(x, axis_name: str = "ch") -> P:
+    """PartitionSpec for one state leaf: channel axis = trailing dim.
+
+    Single source of truth for the channel-minor state layout rule, shared
+    by shard_state and the multi-host tooling (tools/multihost_smoke.py)."""
+    return P(*([None] * (x.ndim - 1)), axis_name)
 
 
 def sharded_step(codec: str, mesh: Mesh, axis_name: str = "ch",

@@ -113,7 +113,9 @@ def run_worker(pid: int, port: int, golden_npz: str):
     state_local = jax.tree.map(np.asarray, st.init_state(C, rng_seed=seeds))
 
     def globalize(x):
-        sh = NamedSharding(mesh, P("ch", *([None] * (x.ndim - 1))))
+        # state leaves are channel-MINOR: shard the trailing axis
+        # (sharding.state_spec is the single source of truth)
+        sh = NamedSharding(mesh, sharding.state_spec(x))
         return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
 
     state_g = jax.tree.map(globalize, state_local)

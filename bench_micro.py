@@ -32,11 +32,12 @@ def mixed_state(c, all_unvoiced=False, L=40, seed=7):
     """L=40 model with alternating V/UV bands (bench_synth.c:35-58 shape)."""
     rng = np.random.default_rng(seed)
     s = st.init_state(c)
-    Vl = np.zeros((c, 57), np.int32)
-    Ml = np.zeros((c, 57), np.float32)
+    # band arrays are channel-MINOR ([57, C], models/state.py)
+    Vl = np.zeros((57, c), np.int32)
+    Ml = np.zeros((57, c), np.float32)
     if not all_unvoiced:
-        Vl[:, 1:L + 1:2] = 1
-    Ml[:, 1:L + 1] = rng.uniform(1.0, 40.0, (c, L)).astype(np.float32)
+        Vl[1:L + 1:2, :] = 1
+    Ml[1:L + 1, :] = rng.uniform(1.0, 40.0, (L, c)).astype(np.float32)
     p = dataclasses.replace(
         s.cur,
         w0=jnp.full((c,), 4 * np.pi / (L / 0.9254 * 4), jnp.float32),
@@ -48,7 +49,7 @@ def mixed_state(c, all_unvoiced=False, L=40, seed=7):
 
 def main():
     c = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    cn = jnp.zeros((c, 160), jnp.float32)
+    cn = jnp.zeros((160, c), jnp.float32)  # comfort noise, channel-minor
 
     # bench_synth: full speech synthesis, mixed V/UV, L=40
     s = mixed_state(c)

@@ -1,4 +1,7 @@
 #!/usr/bin/env python3
+# ARCHIVAL EVIDENCE (round-2/3): written against the pre-round-3
+# channel-MAJOR layout; the measurements it documents are recorded in
+# docs/PERFORMANCE.md. Not runnable on the channel-minor build.
 """A/B: row-major vs feature-major (transposed) IMBE param decode residual.
 
 [C,72]/[C,57] elementwise chains use only 72/128 or 57/128 VPU lanes;

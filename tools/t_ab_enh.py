@@ -1,4 +1,7 @@
 #!/usr/bin/env python3
+# ARCHIVAL EVIDENCE (round-2/3): written against the pre-round-3
+# channel-MAJOR layout; the measurements it documents are recorded in
+# docs/PERFORMANCE.md. Not runnable on the channel-minor build.
 """A/B: full ChannelState scan carry vs dropping the redundant IMBE `enh`
 copy (enh == cur at every IMBE step boundary, so the carry need not
 duplicate it)."""

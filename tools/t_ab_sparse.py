@@ -1,4 +1,7 @@
 #!/usr/bin/env python3
+# ARCHIVAL EVIDENCE (round-2/3): written against the pre-round-3
+# channel-MAJOR layout; the measurements it documents are recorded in
+# docs/PERFORMANCE.md. Not runnable on the channel-minor build.
 """A/B: dense vs candidate-sparse IMBE param-decode select chains.
 
 The three residual chains compare every lane against EVERY possible

@@ -1,3 +1,6 @@
+# ARCHIVAL EVIDENCE (round-2/3): written against the pre-round-3
+# channel-MAJOR layout; the measurements it documents are recorded in
+# docs/PERFORMANCE.md. Not runnable on the channel-minor build.
 """A/B: window-folded single-output voiced kernel vs the old 3-output form.
 
 Side A (old): 3-output kernel + XLA window epilogue (inlined copy of the

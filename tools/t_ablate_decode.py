@@ -1,4 +1,7 @@
 #!/usr/bin/env python3
+# ARCHIVAL EVIDENCE (round-2/3): written against the pre-round-3
+# channel-MAJOR layout; the measurements it documents are recorded in
+# docs/PERFORMANCE.md. Not runnable on the channel-minor build.
 """Micro-ablation INSIDE decode_imbe4400_parms: stub one sub-stage at a
 time (input-dependent stand-ins) inside the full jitted step and diff."""
 import sys

@@ -47,7 +47,7 @@ if which in ("all", "scan"):
     tc("scan50(step imbe7200)", scan50, s0, frame)
 
 if which in ("all", "parms"):
-    d = rng.integers(0, 2, (C, 88), dtype=np.int32)
+    d = rng.integers(0, 2, (88, C), dtype=np.int32)  # bit-major (minor layout)
     def parms(dd, cur, prev):
         return imbe.decode_imbe4400_parms(dd, cur, prev)
     tc("decode_imbe4400_parms", parms, d, s0.cur, s0.prev)
@@ -60,8 +60,8 @@ if which in ("all", "fr"):
 if which in ("all", "synth"):
     from mbe_tpu.models.speech import synthesize_speech_core
     from mbe_tpu.ops import noise
-    cn = jnp.zeros((C, 160), jnp.float32)
+    cn = jnp.zeros((160, C), jnp.float32)
     def syn(cur, enh, cn, lcgp):
-        rm0 = jnp.sum(cur.Ml * cur.Ml, axis=-1)
+        rm0 = jnp.sum(cur.Ml * cur.Ml, axis=0)  # Ml is [57, C]
         return synthesize_speech_core(cur, enh, cn, lcgp, rm0)
     tc("synthesize_speech_core", syn, s0.cur, s0.enh, cn, s0.lcg_prime)

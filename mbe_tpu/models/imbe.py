@@ -149,6 +149,28 @@ def _decode_tables():
     gain_step = ba[:, :, 1].astype(np.float32)        # [48, 5]
     gain_off = (2.0 ** (gain_bits - 1)).astype(np.float32)
 
+    # Sparse incidence lists (round 3): the dense compare-reduces scan all
+    # 72x88 (scatter) / 60x57 (Tl) / 12x57 (voicing) pairs, but the actual
+    # incidence over the 48 variants is 5.6x / 4.8x / 2.7x sparser. Each
+    # list enumerates, per output row, only the inputs ANY variant maps
+    # there; dead pairs contribute exact zeros in the dense form, so
+    # skipping them is bitwise free (scatter sums are integers — exact in
+    # f32 in any order; Tl/voicing are exclusive selects).
+    col_bits = []
+    for col in range(NCOLS):
+        col_bits.append(sorted({i for L9 in range(48) for i in range(88)
+                                if colT[L9, i] == col}))
+    band_slots = []
+    for l in range(57):
+        band_slots.append(sorted({int(s) for s in scl[:, l] if s >= 0}))
+    band_ts = []
+    for l in range(57):
+        if l == 0:
+            band_ts.append([])
+            continue
+        band_ts.append(sorted({int(min(max(K_of[L9] - 1 - (l - 1) // 3, 0),
+                                       11)) for L9 in range(48)}))
+
     return dict(
         NCOLS=NCOLS, colT=colT.astype(np.float32), wT=wT,
         Midct=Midct, scl=scl.astype(np.float32),
@@ -156,6 +178,7 @@ def _decode_tables():
         m_valid=m_valid.reshape(48, 54),
         hoc_qfac=hoc_qfac, hoc_off=hoc_off,
         gain_step=gain_step, gain_off=gain_off,
+        col_bits=col_bits, band_slots=band_slots, band_ts=band_ts,
         L_by_b0=L_by_b0)
 
 
@@ -201,18 +224,24 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     # input bit feeds exactly one reduced column with a 2^t weight, so two
     # tiny [88,48]@[48,C] selects + one fused compare-reduce replace the old
     # product-tensor matmul. Channel-minor: bits ride the lane axis.
-    colsel = jnp.matmul(jnp.asarray(tb["colT"]).T, onehotT, precision=hp,
+    # colT (<= 72) and wT (powers of two) are exact in bf16 and one-hot
+    # rows have exactly one nonzero term: 1 MXU pass instead of HIGHEST's 6
+    onehot_bf = onehotT.astype(jnp.bfloat16)
+    colsel = jnp.matmul(jnp.asarray(tb["colT"], jnp.bfloat16).T, onehot_bf,
                         preferred_element_type=jnp.float32)  # [88, C]
-    wsel = jnp.matmul(jnp.asarray(tb["wT"]).T, onehotT, precision=hp,
+    wsel = jnp.matmul(jnp.asarray(tb["wT"], jnp.bfloat16).T, onehot_bf,
                       preferred_element_type=jnp.float32)
     p = wsel * dT
-    # unrolled scatter-add: measured ~20% faster on the VPU than the
-    # 3D compare-reduce (same fused single kernel either way)
-    cols = jnp.arange(tb["NCOLS"], dtype=jnp.float32)[:, None]
-    vals = jnp.zeros((tb["NCOLS"], c), jnp.float32)
-    for i in range(88):
-        vals = vals + jnp.where(colsel[i:i + 1, :] == cols,
-                                p[i:i + 1, :], 0.0)          # [72, C]
+    # sparse per-column scatter-add: only the 1125 (col, bit) pairs some
+    # variant actually maps (the dense 72x88 compare-reduce wastes 5.6x the
+    # VPU work on pairs whose contribution is an exact zero). Sums are
+    # exact small integers in f32 — order-free, bitwise identical.
+    rows = []
+    for col, ii in enumerate(tb["col_bits"]):
+        idx = jnp.asarray(np.asarray(ii, np.int32))
+        sel = jnp.where(colsel[idx, :] == jnp.float32(col), p[idx, :], 0.0)
+        rows.append(jnp.sum(sel, axis=0, keepdims=True))
+    vals = jnp.concatenate(rows, axis=0)                     # [72, C]
 
     # --- voicing (imbe7200x4400.c:170-188) --------------------------------
     # Vl[l] = bb[1][max(K-1-(l-1)/3, 0)]: expand the 12 bb[1] source bits
@@ -220,9 +249,15 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     li = jnp.arange(57, dtype=jnp.int32)[:, None]
     tl_idx = jnp.clip(K[None, :] - 1 - (li - 1) // 3, 0, 11)
     bb1 = vals[:12]
-    vl_f = jnp.zeros((57, c), jnp.float32)
-    for t in range(12):  # each band reads exactly one bb[1] bit: select
-        vl_f = jnp.where(tl_idx == t, bb1[t:t + 1, :], vl_f)
+    # sparse per-band select: band l can only read the few t values K's
+    # 10 possible settings produce (245 pairs vs the dense 12x57)
+    vl_rows = [jnp.zeros((1, c), jnp.float32)]  # band 0 unused
+    for l in range(1, 57):
+        row = jnp.zeros((1, c), jnp.float32)
+        for t in tb["band_ts"][l]:
+            row = jnp.where(tl_idx[l:l + 1, :] == t, bb1[t:t + 1, :], row)
+        vl_rows.append(row)
+    vl_f = jnp.concatenate(vl_rows, axis=0)
     vl_bits = vl_f.astype(jnp.int32)  # [57, C]
     band_mask = (li >= 1) & (li <= L[None, :])
     Vl = jnp.where(band_mask, vl_bits, cur.Vl)
@@ -289,10 +324,17 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     scl = jnp.matmul(jnp.asarray(tb["scl"], jnp.bfloat16).T,
                      onehotT.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)  # [57, C]
-    # each band l reads exactly one slot, so this is a pure select chain
-    Tl = jnp.zeros((57, c), jnp.float32)
-    for sl in range(60):
-        Tl = jnp.where(scl == jnp.float32(sl), Usel[sl:sl + 1, :], Tl)
+    # each band l reads exactly one slot, and only ~12 of the 60 slots are
+    # reachable per band across the 48 variants (720 pairs vs dense 60x57):
+    # per-band sparse select chain, bitwise identical
+    tl_rows = [jnp.zeros((1, c), jnp.float32)]  # band 0 unused
+    for l in range(1, 57):
+        row = jnp.zeros((1, c), jnp.float32)
+        for sl in tb["band_slots"][l]:
+            row = jnp.where(scl[l:l + 1, :] == jnp.float32(sl),
+                            Usel[sl:sl + 1, :], row)
+        tl_rows.append(row)
+    Tl = jnp.concatenate(tl_rows, axis=0)
 
     # --- spectral amplitude prediction (imbe7200x4400.c:272-354) ----------
     rho = jnp.where(L <= 15, jnp.float32(0.4),

@@ -41,8 +41,14 @@ def _tiles(c, ncw):
 
     Read at trace time so a fresh jit closure (tools/soft_sweep.py builds
     one per config) picks up MBE_TPU_SOFT_CB / MBE_TPU_SOFT_CWT."""
-    cb = int(os.environ.get("MBE_TPU_SOFT_CB", "128"))
-    cwt = min(ncw, int(os.environ.get("MBE_TPU_SOFT_CWT", "2048")))
+    # defaults from the round-3 tile sweep (tools/soft_sweep.py, real TPU,
+    # 2026-08-18): CB=256 cwt=4096 measured 3.51M vs 3.34M f/s for the
+    # 2048/128 round-2 tiles on soft imbe7200 at C=16384. CB falls back to
+    # 128 when 256 doesn't divide the flattened batch (the _use_pallas_soft
+    # gate only guarantees a multiple of 128).
+    cb_env = os.environ.get("MBE_TPU_SOFT_CB")
+    cb = int(cb_env) if cb_env else (256 if c % 256 == 0 else 128)
+    cwt = min(ncw, int(os.environ.get("MBE_TPU_SOFT_CWT", "4096")))
     if c % cb or ncw % cwt:
         raise ValueError(f"tile sizes must divide shapes: C={c} CB={cb}, "
                          f"ncw={ncw} cwt={cwt}")

@@ -153,7 +153,46 @@ def _tl_factored(plus: bool):
             for j in range(1, lmprbl[L, i] + 1):
                 scl[L, l] = i * 17 + (j - 1)
                 l += 1
-    return M, off, lmprbl.astype(np.float32), scl
+    # Sparse incidence (round 3, same trick as models/imbe.py): band l can
+    # only ever read the slots {scl[L, l] : L} — 622 (band, slot) pairs vs
+    # the dense 68x57 chain's 3876. Dead pairs were exact-zero selects, so
+    # skipping them is bitwise free.
+    band_slots = [sorted({int(s) for s in scl[:, l] if s >= 0})
+                  for l in range(57)]
+    return M, off, lmprbl.astype(np.float32), scl, band_slots
+
+
+@lru_cache(maxsize=2)
+def _vuv_band_js(plus: bool):
+    """Per-band candidate V/UV indices: jl(l) = trunc(l * 16 * f0) clipped
+    to [0,7] can only take the values its codec's f0 table produces (245
+    of the dense 8x57 pairs). Computed in f32 exactly as the runtime does."""
+    if plus:  # 2400: f0 straight from the b0 table (clip domain 0..125)
+        f0s = np.asarray(T.ambe2400_f0_by_b0, np.float32)
+    else:     # 2450: voice table plus the silence f0 override
+        f0s = np.concatenate([
+            np.asarray(T.AmbeW0table, np.float32),
+            np.asarray([T.ambe2450_silence_f0_w0[0]], np.float32)])
+    out = []
+    for l in range(57):
+        jl = np.clip((np.float32(l) * np.float32(16.0) * f0s)
+                     .astype(np.int32), 0, 7)
+        out.append(sorted(set(jl.tolist())))
+    return out
+
+
+def _vuv_select(vrow, jl, plus: bool):
+    """v_tab[l, c] = vrow[jl[l, c], c] via per-band sparse selects.
+    vrow [8, C] f32, jl [57, C] i32 -> [57, C] i32."""
+    cands = _vuv_band_js(plus)
+    c = vrow.shape[-1]
+    rows = []
+    for l in range(57):
+        row = jnp.zeros((1, c), jnp.float32)
+        for t in cands[l]:
+            row = jnp.where(jl[l:l + 1, :] == t, vrow[t:t + 1, :], row)
+        rows.append(row)
+    return jnp.concatenate(rows, axis=0).astype(jnp.int32)
 
 
 @lru_cache(maxsize=2)
@@ -211,7 +250,7 @@ def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
     cik = jnp.concatenate([c1[:, None, :], c2[:, None, :], hoc],
                           axis=1)  # [4, 6, C]
     c = cik.shape[-1]
-    M, off, jsel_tab, scl_tab = _tl_factored(plus)
+    M, off, jsel_tab, scl_tab, band_slots = _tl_factored(plus)
     Ls = jnp.clip(L, 0, 56)
     # U[i, m, c] = sum_k cik[i, k, c] * M[k, m] — einsum in true matmul
     # form (no materialized one-hot operands)
@@ -225,10 +264,16 @@ def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
         usel = usel + jnp.where(jsel[:, None, :] == jnp.float32(ji), sl, 0.0)
     slots = usel.reshape(68, c)
     sclsel = _onehot_rows(Ls, scl_tab)  # [57, C]
-    Tl = jnp.zeros((57, c), jnp.float32)
-    for s in range(68):  # each band reads exactly one slot: select chain
-        Tl = jnp.where(sclsel == jnp.float32(s), slots[s:s + 1, :], Tl)
-    return Tl
+    # per-band sparse slot select (622 pairs vs the dense 68x57 = 3876;
+    # exclusive selects, default 0 where scl == -1 — bitwise identical)
+    rows = [jnp.zeros((1, c), jnp.float32)]  # band 0: scl always -1
+    for l in range(1, 57):
+        row = jnp.zeros((1, c), jnp.float32)
+        for s in band_slots[l]:
+            row = jnp.where(sclsel[l:l + 1, :] == jnp.float32(s),
+                            slots[s:s + 1, :], row)
+        rows.append(row)
+    return jnp.concatenate(rows, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -300,9 +345,7 @@ def decode_ambe2450_parms(ambe_d, cur: Parms, prev: Parms, total_errors):
     jl = (lf * jnp.float32(16.0) * f0[None, :]).astype(jnp.int32)
     jl = jnp.clip(jl, 0, 7)
     vrow = _onehot_rows(b1, T.AmbeVuv)  # [8, C]
-    v_tab = jnp.sum(
-        jnp.where(jl[None, :, :] == jnp.arange(8)[:, None, None],
-                  vrow[:, None, :], 0.0), axis=0).astype(jnp.int32)
+    v_tab = _vuv_select(vrow, jl, plus=False)
     in_band = (li >= 1) & (li <= L[None, :])
     Vl = jnp.where(in_band & sil[None, :], 0,
                    jnp.where(in_band & ~sil[None, :], v_tab, cur.Vl))
@@ -393,9 +436,7 @@ def decode_ambe2400_parms(ambe_d, cur: Parms, prev: Parms):
     jl = jnp.clip((lf * jnp.float32(16.0) * f0[None, :]).astype(jnp.int32),
                   0, 7)
     vrow = _onehot_rows(b1, T.AmbePlusVuv)  # [8, C]
-    v_tab = jnp.sum(
-        jnp.where(jl[None, :, :] == jnp.arange(8)[:, None, None],
-                  vrow[:, None, :], 0.0), axis=0).astype(jnp.int32)
+    v_tab = _vuv_select(vrow, jl, plus=True)
     in_band = (li >= 1) & (li <= L[None, :])
     Vl = jnp.where(in_band & silence[None, :], 0,
                    jnp.where(in_band & voice[None, :], v_tab, cur.Vl))

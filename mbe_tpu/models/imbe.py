@@ -236,6 +236,9 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     # variant actually maps (the dense 72x88 compare-reduce wastes 5.6x the
     # VPU work on pairs whose contribution is an exact zero). Sums are
     # exact small integers in f32 — order-free, bitwise identical.
+    # (Storing p/colsel as bf16 to halve the re-read traffic measured
+    # 0.964x end-to-end — bit-exact but slower: the scatter is VPU-issue
+    # bound, not HBM-bound, and bf16 lanes add convert work. 2026-08-19.)
     rows = []
     for col, ii in enumerate(tb["col_bits"]):
         idx = jnp.asarray(np.asarray(ii, np.int32))

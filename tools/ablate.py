@@ -25,20 +25,22 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from mbe_tpu import pipeline  # noqa: E402
-from mbe_tpu.models import imbe, spectral, speech  # noqa: E402
+from mbe_tpu.models import ambe, imbe, spectral, speech  # noqa: E402
 from mbe_tpu.models import state as st  # noqa: E402
 from mbe_tpu.ops import demod, ecc, enhance, noise, synth  # noqa: E402
 
 
-def build(codec, channels, steps):
+def build(codec, channels, steps, soft=False):
     rows, cols = pipeline.FRAME_SHAPES[codec]
     rng = np.random.default_rng(0)
     frame = jax.device_put(
         rng.integers(0, 2, (channels, rows, cols), dtype=np.int32))
+    rel = (jax.device_put(rng.integers(0, 256, (channels, rows, cols),
+                                       dtype=np.int32)) if soft else None)
 
     def body(carry, _):
         s, acc = carry
-        s2, audio, res, _ = pipeline.step(codec, frame, s)
+        s2, audio, res, _ = pipeline.step(codec, frame, s, soft_rel=rel)
         return (s2, acc + jnp.sum(audio)), 0
 
     return jax.jit(lambda s0: jax.lax.scan(
@@ -112,27 +114,56 @@ ABLATIONS = {
                                  (n, limbs.shape[-1])), limbs)),
     "phases": (synth, "update_phases",
                lambda w0, L, psi, phi, pw0, ppsi, nb, nuv: (psi, phi, ppsi)),
+    # AMBE-only stages (no-ops on IMBE runs: the stubbed symbol is never
+    # traced, so the ablated step compiles to the same graph as base)
+    "ambe2450_decode": (ambe, "decode_ambe2450_parms",
+                        lambda d, cur, prev, te: (cur, prev, d[0, :])),
+    "ambe2400_decode": (ambe, "decode_ambe2400_parms",
+                        lambda d, cur, prev: (cur, prev, d[0, :])),
+    "tone_synth": (synth, "render_tone",
+                   lambda tid, aid, swn, ph: (
+                       _bcast_minor(ph.astype(jnp.float32)[None, :],
+                                    (160, ph.shape[0])), swn, ph)),
+}
+
+# Soft-path stages (exhaustive-ML ECC). Identity passthrough is the ideal
+# stand-in here: input-dependent (nothing folds), shape/dtype-exact, and it
+# keeps real bits flowing to the decode stages downstream.
+SOFT_ABLATIONS = {
+    "golay_soft": (ecc, "golay2312_soft",
+                   lambda bits, rel: (bits.astype(jnp.int32),
+                                      (rel[..., 0] & 1).astype(jnp.int32))),
+    "hamming_soft": (ecc, "hamming1511_soft",
+                     lambda bits, rel, variant7100=False: (
+                         bits.astype(jnp.int32),
+                         (rel[..., 0] & 1).astype(jnp.int32))),
 }
 
 
 def main():
     codec = sys.argv[1] if len(sys.argv) > 1 else "imbe7200"
+    soft = codec.endswith("-soft")  # e.g. imbe7200-soft
+    codec = codec.removesuffix("-soft")
     channels = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 50
     only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
 
-    base_fn = build(codec, channels, steps)
+    base_fn = build(codec, channels, steps, soft=soft)
     t_base = measure(base_fn, channels, steps)
-    print(f"BASE {codec} C={channels}: {t_base*1e3:.3f} ms/step "
+    print(f"BASE {codec}{' soft' if soft else ''} C={channels}: "
+          f"{t_base*1e3:.3f} ms/step "
           f"({channels/t_base:,.0f} f/s)", flush=True)
 
-    for name, (mod, attr, stub) in ABLATIONS.items():
+    stages = dict(ABLATIONS)
+    if soft:
+        stages.update(SOFT_ABLATIONS)
+    for name, (mod, attr, stub) in stages.items():
         if only and name not in only:
             continue
         orig = getattr(mod, attr)
         setattr(mod, attr, stub)
         try:
-            fn = build(codec, channels, steps)
+            fn = build(codec, channels, steps, soft=soft)
             t = measure(fn, channels, steps)
         finally:
             setattr(mod, attr, orig)

@@ -134,7 +134,7 @@ def main():
             sys.exit(2)
 
     channels = int(os.environ.get("MBE_BENCH_CHANNELS", "32768"))
-    soft_channels = int(os.environ.get("MBE_BENCH_SOFT_CHANNELS", "8192"))
+    soft_channels = int(os.environ.get("MBE_BENCH_SOFT_CHANNELS", "16384"))
     steps = int(os.environ.get("MBE_BENCH_STEPS", "50"))
     full = os.environ.get("MBE_BENCH_FULL", "1") != "0"
 

@@ -91,7 +91,7 @@ ABLATIONS = {
                      lambda d, cur, prev: (cur, prev, d[0, :])),
     "spectral_update": (spectral, "spectral_update",
                         lambda cur_L, prev_L, prev_Ml, prev_log2Ml, Tl, *,
-                        weight, cur_Ml, cur_log2Ml: (
+                        weight, cur_Ml, cur_log2Ml, **kw: (
                             cur_Ml + Tl, cur_log2Ml, prev_Ml, prev_log2Ml,
                             cur_L)),
     "enhance": (enhance, "spectral_amp_enhance",

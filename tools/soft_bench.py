@@ -61,7 +61,7 @@ def measure(fn, channels: int, steps: int, reps: int = 3, codec="imbe7200"):
 
 if __name__ == "__main__":
     codec = sys.argv[1] if len(sys.argv) > 1 else "imbe7200"
-    channels = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    channels = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     fn, steps = build(codec, channels)
     dt = measure(fn, channels, steps, reps, codec=codec)

@@ -27,7 +27,7 @@ CODECS = ("imbe7200", "imbe7100", "ambe2450", "ambe2400")
 
 def main():
     hard_c = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
-    soft_c = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    soft_c = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     rows = []

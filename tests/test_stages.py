@@ -114,3 +114,40 @@ def test_convert_7100_k_variants():
     expect = np.stack([d[i, perms[np.clip(K[i], 1, 12)]]
                        for i in range(len(b0_list))])
     np.testing.assert_array_equal(out, expect)
+
+
+def test_vuv_sparse_select_covers_all_runtime_jl():
+    """_vuv_band_js enumerates per-band candidate jl values in host numpy;
+    a drifted re-derivation would make _vuv_select silently return 0 for
+    uncovered jl (ADVICE r3). Pin (a) every runtime-reachable jl value is a
+    candidate, and (b) _vuv_select == the dense 8-way where-sum for every
+    reachable (f0, vrow) combination."""
+    import jax.numpy as jnp
+    from mbe_tpu.tables import T as TT
+
+    for plus in (False, True):
+        # every f0 the runtime can produce, computed exactly as the decoder
+        # does (f32 multiply order, trunc, clip)
+        if plus:  # 2400: f0 = lut over clip(b0, 0, 125) (ambe.py:423-424)
+            f0s = np.asarray(TT.ambe2400_f0_by_b0, np.float32)
+        else:     # 2450: voice table over clip(b0, 0, 119) + silence f0
+            f0s = np.concatenate([
+                np.asarray(TT.AmbeW0table, np.float32),
+                np.asarray([TT.ambe2450_silence_f0_w0[0]], np.float32)])
+        cands = ambe._vuv_band_js(plus)
+        lf = np.arange(57, dtype=np.float32)[:, None]
+        jl = np.clip((lf * np.float32(16.0) * f0s[None, :]).astype(np.int32),
+                     0, 7)  # [57, F]
+        for l in range(57):
+            assert set(jl[l].tolist()) <= set(cands[l]), (plus, l)
+
+        # dense-vs-sparse equivalence on the full reachable jl grid
+        rng = np.random.default_rng(7 if plus else 8)
+        vrow = rng.standard_normal((8, f0s.size)).astype(np.float32)
+        got = np.asarray(jax.jit(
+            lambda v, j: ambe._vuv_select(v, j, plus=plus)
+        )(jnp.asarray(vrow), jnp.asarray(jl)))
+        dense = np.zeros((57, f0s.size), np.float32)
+        for t in range(8):
+            dense = np.where(jl == t, vrow[t][None, :], dense)
+        np.testing.assert_array_equal(got, dense.astype(np.int32))

@@ -129,6 +129,12 @@ ABLATIONS = {
 # Soft-path stages (exhaustive-ML ECC). Identity passthrough is the ideal
 # stand-in here: input-dependent (nothing folds), shape/dtype-exact, and it
 # keeps real bits flowing to the decode stages downstream.
+# Caveat (ADVICE r3): the synthesized error counts (rel[...,0] & 1) follow a
+# different distribution than real soft-ECC diffs, so downstream FSM branch
+# masks (erasure/repeat gates) see different lane mixes under ablation. All
+# branches still compute on all lanes, so the timing skew is minor, but the
+# ablated step is not byte-identical work to the real one — read soft-stage
+# deltas with that in mind.
 SOFT_ABLATIONS = {
     "golay_soft": (ecc, "golay2312_soft",
                    lambda bits, rel: (bits.astype(jnp.int32),

@@ -67,11 +67,11 @@ def main():
     s = mixed_state(c, all_unvoiced=True)
     def unv_body(carry):
         cur, prev = carry
-        noise_buf, seed2, ov2 = noise.generate_noise_with_overlap(
-            cur.noiseSeed, cur.noiseOverlap, s.lcg_prime)
+        noise_buf, seed2, ps2 = noise.generate_noise_with_overlap(
+            cur.noiseSeed, cur.noisePrevSeed, s.lcg_prime)
         add, uw = synth.unvoiced_fft(cur.w0, cur.L, cur.Ml, cur.Vl,
                                      prev.previousUw, noise_buf)
-        cur2 = dataclasses.replace(cur, noiseSeed=seed2, noiseOverlap=ov2,
+        cur2 = dataclasses.replace(cur, noiseSeed=seed2, noisePrevSeed=ps2,
                                    previousUw=uw)
         return (cur2, prev)
     dt = device_time(unv_body, (s.cur, s.prev))

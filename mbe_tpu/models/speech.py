@@ -71,8 +71,8 @@ def synthesize_speech_core(cur: Parms, prev: Parms, comfort_samples,
 
     # --- noise buffer (LCG state advances on speaking lanes only) ---------
     cold_consumed = speak & (cur.noiseSeed < 0.0)
-    noise_buf, new_seed, new_overlap = noise.generate_noise_with_overlap(
-        cur.noiseSeed, cur.noiseOverlap, lcg_prime)
+    noise_buf, new_seed, new_prev_seed = noise.generate_noise_with_overlap(
+        cur.noiseSeed, cur.noisePrevSeed, lcg_prime)
 
     # --- model reconciliation + phase update -------------------------------
     maxl, c_Ml, c_Vl, p_Ml, p_Vl = synth.reconcile_model_lengths(
@@ -101,7 +101,7 @@ def synthesize_speech_core(cur: Parms, prev: Parms, comfort_samples,
         PHIl=jnp.where(sp, c_phi, cur.PHIl),
         previousUw=jnp.where(sp, new_uw, cur.previousUw),
         noiseSeed=jnp.where(speak, new_seed, cur.noiseSeed),
-        noiseOverlap=jnp.where(sp, new_overlap, cur.noiseOverlap))
+        noisePrevSeed=jnp.where(speak, new_prev_seed, cur.noisePrevSeed))
     prev = dataclasses.replace(
         prev,
         Ml=jnp.where(sp, p_Ml, prev.Ml),

@@ -8,7 +8,7 @@ time. It is plain data: trivially snapshottable, shardable along C, and
 donate-able.
 
 Layout (round 3): the channel axis is MINOR — scalars are [C], per-band
-arrays are [57, C], buffers [256, C]/[96, C]. On TPU the minor-most dim
+arrays are [57, C], the WOLA buffer [128, C]. On TPU the minor-most dim
 maps to the 128-wide vector lanes, so [C, 57] arrays padded 57 -> 128
 ran every elementwise op at ~45% lane occupancy; with channels in lanes
 the band math runs dense (57 -> 64 sublanes instead). Bit-exact: only
@@ -45,12 +45,12 @@ def _field(**kw):
                       "gamma", "tonePhase", "swn", "localEnergy",
                       "amplitudeThreshold", "errorRate", "errorCountTotal",
                       "errorCount4", "repeatCount", "mutingThreshold",
-                      "previousUw", "noiseSeed", "noiseOverlap"],
+                      "previousUw", "noiseSeed", "noisePrevSeed"],
          meta_fields=[])
 @dataclasses.dataclass
 class Parms:
     """Batched mirror of mbe_parms (mbelib.h:88-139). Channel axis minor:
-    scalars [C], band arrays [57, C], buffers [256, C]/[96, C]."""
+    scalars [C], band arrays [57, C], WOLA buffer [128, C]."""
 
     w0: jax.Array            # [C] f32
     L: jax.Array             # [C] i32
@@ -70,9 +70,22 @@ class Parms:
     errorCount4: jax.Array   # [C] i32
     repeatCount: jax.Array   # [C] i32
     mutingThreshold: jax.Array     # [C] f32
-    previousUw: jax.Array    # [256, C] f32
+    # Unvoiced-continuity diet (round 4): mbe_parms carries previousUw[256]
+    # + noiseOverlap[96] per copy (mbelib.h:132-136), but (a) the WOLA only
+    # ever reads previousUw[128:256] (prev_idx = n+128 clipped to <256,
+    # mbe_unvoiced_fft.c:398-404), so only that half is stored here, and
+    # (b) noiseOverlap is a pure LCG function of the seed that produced it
+    # (buffer tail = samples 64..159 from that seed, mbe_unvoiced_fft.c:
+    # 330-338), so one scalar `noisePrevSeed` replaces the 96-float array
+    # (<0 = overlap-is-zeros, i.e. post-cold-start). Both are bit-exact
+    # reformulations; they cut the carried noise block from 1412 to 520
+    # bytes per Parms copy. The copies themselves must stay per-Parms:
+    # repeat/erasure lanes genuinely resurrect stale continuity (useLast
+    # copies prev's seed/overlap into cur, mbelib.c:346-359), so cur/prev/
+    # enh diverge at real step boundaries and cannot share one buffer.
+    previousUw: jax.Array    # [128, C] f32 = mbe_parms.previousUw[128:256]
     noiseSeed: jax.Array     # [C] f32 (<0 = cold start sentinel)
-    noiseOverlap: jax.Array  # [96, C] f32
+    noisePrevSeed: jax.Array  # [C] f32 seed that generated the overlap (<0 = zeros)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -131,9 +144,9 @@ def _default_parms(c: int, ambe: bool) -> Parms:
         errorCount4=jnp.zeros((c,), jnp.int32),
         repeatCount=jnp.zeros((c,), jnp.int32),
         mutingThreshold=mut,
-        previousUw=jnp.zeros((256, c), f32),
+        previousUw=jnp.zeros((128, c), f32),
         noiseSeed=jnp.full((c,), -1.0, f32),
-        noiseOverlap=jnp.zeros((96, c), f32),
+        noisePrevSeed=jnp.full((c,), -1.0, f32),
     )
 
 
@@ -211,7 +224,7 @@ def erasure_parms(mp: Parms, continuity: Parms) -> Parms:
         localEnergy=jnp.full((c,), DEFAULT_LOCAL_ENERGY, f32),
         amplitudeThreshold=jnp.full((c,), DEFAULT_AMPLITUDE_THRESHOLD, jnp.int32),
         noiseSeed=continuity.noiseSeed,
-        noiseOverlap=continuity.noiseOverlap,
+        noisePrevSeed=continuity.noisePrevSeed,
         previousUw=continuity.previousUw,
     )
 

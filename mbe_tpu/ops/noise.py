@@ -52,16 +52,27 @@ def lcg_block(seed_int, count=160):
     return samples.astype(jnp.int32), next_state.astype(jnp.int32)
 
 
-def generate_noise_with_overlap(noise_seed, noise_overlap, prime_value):
+def generate_noise_with_overlap(noise_seed, noise_prev_seed, prime_value):
     """Batched mbe_generate_noise_with_overlap (mbe_unvoiced_fft.c:305-341).
+
+    The reference carries the 96-float overlap tail in mbe_parms
+    (mbelib.h:136); but that tail is buffer[160:256] = LCG samples 64..159
+    of the seed the PREVIOUS warm frame started from (mbe_unvoiced_fft.c:
+    330-338) — a pure function of one scalar. Carrying that scalar
+    (`noise_prev_seed`, <0 = overlap-is-zeros) instead of the array saves
+    380 bytes per Parms copy per channel; the overlap is re-expanded here
+    with the same jump tables (identical A/B entries -> identical uint32
+    products -> bit-exact).
 
     Args:
       noise_seed: [C] float32 (LCG state as float; < 0 means cold start).
-      noise_overlap: [96, C] float32.
+      noise_prev_seed: [C] float32 — seed whose samples 64..159 form the
+        overlap region (< 0 means the overlap is all zeros, the state right
+        after a cold start).
       prime_value: [C] float32 — state to prime with on cold start (3147 by
         default, or seed%53125 after set_rng_seed; mbe_unvoiced_fft.c:313-321).
     Returns:
-      (buffer [256, C] f32, new_seed [C] f32, new_overlap [96, C] f32).
+      (buffer [256, C] f32, new_seed [C] f32, new_prev_seed [C] f32).
 
     Cold-start lanes (seed < 0) emit all-zero buffers and prime the seed.
     """
@@ -70,14 +81,24 @@ def generate_noise_with_overlap(noise_seed, noise_overlap, prime_value):
     state = noise_seed.astype(jnp.int32) % LCG_M  # safe for warm lanes
     samples, next_state = lcg_block(jnp.maximum(state, 0), count=160)
 
+    # overlap[j] = sample 64+j of the previous seed (mbe_unvoiced_fft.c:330)
+    pA = jnp.asarray(T.lcg_A[64:160]).astype(jnp.uint32)[:, None]
+    pB = jnp.asarray(T.lcg_B[64:160]).astype(jnp.uint32)[:, None]
+    ps = (jnp.maximum(noise_prev_seed, 0.0).astype(jnp.uint32)
+          % jnp.uint32(LCG_M))[None, :]
+    overlap = ((pA * ps + pB) % jnp.uint32(LCG_M)).astype(jnp.float32)
+    overlap = jnp.where((noise_prev_seed < 0.0)[None, :], 0.0, overlap)
+
     warm_buffer = jnp.concatenate(
-        [noise_overlap, samples.astype(jnp.float32)], axis=0)  # [256, C]
-    warm_overlap = warm_buffer[FFT_SIZE - NOISE_OVERLAP:, :]
+        [overlap, samples.astype(jnp.float32)], axis=0)  # [256, C]
 
     buffer = jnp.where(cold[None, :], 0.0, warm_buffer)
-    new_overlap = jnp.where(cold[None, :], 0.0, warm_overlap)
+    # after a cold start the overlap region is zeros -> sentinel; after a
+    # warm frame the next overlap is this frame's samples 64..159 -> the
+    # seed we just consumed.
+    new_prev_seed = jnp.where(cold, -1.0, noise_seed)
     new_seed = jnp.where(cold, prime_value, next_state.astype(jnp.float32))
-    return buffer, new_seed, new_overlap
+    return buffer, new_seed, new_prev_seed
 
 
 def java_random_init(seed_u32):

@@ -291,7 +291,12 @@ def band_of_bins(cur_w0):
 
 def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
     """JMBE #117-126. Returns (unvoiced_add [160, C], new_previousUw
-    [256, C]); band inputs [57, C], noise_buffer [256, C].
+    [128, C]); band inputs [57, C], noise_buffer [256, C].
+
+    previous_uw is the UPPER HALF of the reference's 256-float buffer —
+    the WOLA reads prevUw[n+128] for n = 0..127 only (prev_idx clipped to
+    < 256, mbe_unvoiced_fft.c:398-404), so the lower half is dead state
+    and is not carried (round-4 state diet, -512 B/copy/channel).
 
     The 256-pt real FFT pair runs as MXU matmuls (ops/fft.py). A fully
     fused VMEM-resident Pallas kernel for the stage exists
@@ -312,10 +317,13 @@ def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
         glm = jnp.where(lmask, UNVOICED_SCALE_COEFF * cur_Ml, 0.0)
         glm = jnp.pad(glm.T, ((0, 0), (0, 64 - 57)))
         mult = (M_256_OVER_2PI * cur_w0)[:, None]
+        # the kernel keeps the full-buffer interface; only the upper half
+        # is carried (and read), so pad the dead lower half with zeros
+        prev_full = jnp.pad(previous_uw.T, ((0, 0), (128, 0)))
         add, uw_out = pallas_unvoiced.unvoiced_wola(
-            uw.T, previous_uw.T, glm, mult,
+            uw.T, prev_full, glm, mult,
             interpret=jax.default_backend() != "tpu")
-        return add.T, uw_out.T
+        return add.T, uw_out.T[128:, :]
 
     reim = fft_ops.rfft256_packed(uw)  # [258, C] = [re | im], one matmul
     Xre = reim[:fft_ops.NBINS, :]
@@ -353,13 +361,13 @@ def unvoiced_fft(cur_w0, cur_L, cur_Ml, cur_Vl, previous_uw, noise_buffer):
 
     # WOLA combine (mbe_unvoiced_fft.c:343-530)
     zeros32 = jnp.zeros((32, uw_out.shape[1]), jnp.float32)
-    prev_part = jnp.concatenate([previous_uw[128:, :], zeros32], axis=0)
+    prev_part = jnp.concatenate([previous_uw, zeros32], axis=0)
     curr_part = jnp.concatenate([zeros32, uw_out[:128, :]], axis=0)
     wp = jnp.asarray(_W_PREV)[:, None]
     wc = jnp.asarray(_W_CURR)[:, None]
     dn = jnp.asarray(_W_DENOM)[:, None]
     add = jnp.where(dn > 1e-10, (wp * prev_part + wc * curr_part) / dn, 0.0)
-    return add, uw_out
+    return add, uw_out[128:, :]
 
 
 # ---------------------------------------------------------------------------

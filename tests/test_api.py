@@ -43,7 +43,7 @@ def test_init_state_shapes():
     st = api.init_mbe_parms(channels=3)
     # state leaves are channel-minor (models/state.py round-3 layout)
     assert st.cur.Ml.shape == (57, 3)
-    assert st.cur.previousUw.shape == (256, 3)
+    assert st.cur.previousUw.shape == (128, 3)
     assert st.comfort_rng.shape == (3, 3)  # [3 limbs, C]
     # IMBE defaults (mbelib.c:367-410)
     assert int(st.prev.L[0]) == 39 and int(st.prev.K[0]) == 12

@@ -59,22 +59,55 @@ def test_cold_start_emits_zero_buffer_then_primes():
     c = 4
 
     @jax.jit
-    def run(seed, overlap, prime):
-        return noise.generate_noise_with_overlap(seed, overlap, prime)
+    def run(seed, prev_seed, prime):
+        return noise.generate_noise_with_overlap(seed, prev_seed, prime)
 
     seed = jnp.array([-1.0, -1.0, 100.0, 0.0], jnp.float32)
-    overlap = jnp.full((96, c), 7.0, jnp.float32)
+    prev_seed = jnp.array([-1.0, -1.0, 200.0, -1.0], jnp.float32)
     prime = jnp.array([3147.0, 555.0, 3147.0, 3147.0], jnp.float32)
-    buf, new_seed, new_ov = jax.tree.map(np.asarray, run(seed, overlap, prime))
+    buf, new_seed, new_ps = jax.tree.map(
+        np.asarray, run(seed, prev_seed, prime))
 
     np.testing.assert_array_equal(buf[:, 0], 0.0)
-    np.testing.assert_array_equal(new_ov[:, 0], 0.0)
+    assert new_ps[0] == -1.0  # post-cold-start: overlap region is zeros
     assert new_seed[0] == 3147.0
     assert new_seed[1] == 555.0
-    # warm lane: head = overlap, tail = LCG from seed
-    np.testing.assert_array_equal(buf[:96, 2], 7.0)
+    # warm lane: head = overlap (= LCG samples 64..159 of the prev seed),
+    # tail = LCG from seed
+    s = 200
+    for _ in range(64):
+        s = (171 * s + 11213) % 53125
+    for j in range(96):
+        assert buf[j, 2] == np.float32(s)
+        s = (171 * s + 11213) % 53125
     assert buf[96, 2] == 100.0
     assert new_seed[2] == np.float32((171 ** 160 * 100 + _b160()) % 53125)
+    assert new_ps[2] == 100.0  # next overlap comes from the seed just used
+    # prev_seed < 0 with a warm seed (the frame right after a cold start):
+    # overlap region must be zeros
+    np.testing.assert_array_equal(buf[:96, 3], 0.0)
+    assert buf[96, 3] == 0.0 and buf[97, 3] == np.float32(11213.0)
+
+
+def test_overlap_scalarization_matches_carried_array():
+    """The carried noisePrevSeed scalar reproduces the reference's carried
+    96-float overlap array bit-for-bit across consecutive warm frames: the
+    tail of frame N's buffer must equal the head (overlap region) of frame
+    N+1's buffer (mbe_unvoiced_fft.c:330-338)."""
+    c = 8
+    rng = np.random.default_rng(3)
+    seeds = rng.integers(0, 53125, c).astype(np.float32)
+
+    @jax.jit
+    def two_frames(seed):
+        ps = jnp.full((c,), -1.0, jnp.float32)
+        prime = jnp.full((c,), 3147.0, jnp.float32)
+        b1, s1, ps1 = noise.generate_noise_with_overlap(seed, ps, prime)
+        b2, s2, ps2 = noise.generate_noise_with_overlap(s1, ps1, prime)
+        return b1, b2
+
+    b1, b2 = jax.tree.map(np.asarray, two_frames(jnp.asarray(seeds)))
+    np.testing.assert_array_equal(b1[160:, :], b2[:96, :])
 
 
 def _b160():

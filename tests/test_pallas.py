@@ -140,7 +140,9 @@ def test_unvoiced_pallas_wiring_matches_xla(monkeypatch):
     args = (jnp.asarray(w0), jnp.asarray(L),
             jnp.asarray(rng.uniform(0, 500, (57, c)).astype(np.float32)),
             jnp.asarray(rng.integers(0, 2, (57, c)).astype(np.int32)),
-            jnp.asarray(rng.uniform(-400, 400, (256, c)).astype(np.float32)),
+            # previousUw carries only the WOLA-read upper half (round-4
+            # state diet): [128, C]
+            jnp.asarray(rng.uniform(-400, 400, (128, c)).astype(np.float32)),
             jnp.asarray(rng.uniform(0, 53125, (256, c)).astype(np.float32)))
 
     monkeypatch.setenv("MBE_TPU_PALLAS_UNVOICED", "0")

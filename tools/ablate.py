@@ -105,9 +105,10 @@ ABLATIONS = {
                      lambda w0, L, Ml, Vl, puw, nb: (
                          _bcast_minor(Ml, (160, w0.shape[0])), puw)),
     "lcg_noise": (noise, "generate_noise_with_overlap",
-                  lambda seed, overlap, prime: (
-                      _bcast_minor(overlap, (256, seed.shape[0])),
-                      seed, overlap)),
+                  lambda seed, prev_seed, prime: (
+                      _bcast_minor(prev_seed[None, :],
+                                   (256, seed.shape[0])),
+                      seed, prev_seed)),
     "comfort": (noise, "comfort_noise",
                 lambda limbs, n=160: (
                     _bcast_minor(limbs.astype(jnp.float32),

@@ -290,9 +290,9 @@ def to_parms(p, c):
                  errorCount4=jnp.zeros(c, jnp.int32),
                  repeatCount=jnp.zeros(c, jnp.int32),
                  mutingThreshold=jnp.asarray(z),
-                 previousUw=jnp.zeros((c, 256), jnp.float32),
+                 previousUw=jnp.zeros((c, 128), jnp.float32),
                  noiseSeed=jnp.asarray(z),
-                 noiseOverlap=jnp.zeros((c, 96), jnp.float32))
+                 noisePrevSeed=jnp.asarray(z))
 
 
 def to_minor(p):

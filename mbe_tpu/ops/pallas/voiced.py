@@ -36,10 +36,30 @@ constant 2q) plus one amplitude add per sample. Its XLA form ([C,7,160]
 cos grids) ablated at ~1 ms/step at C=32768; in-kernel it costs ~0.2 ms
 and the grids disappear (measured 1.11x end-to-end).
 
+Round-4 reduce attack (tools/t_voiced4.py / t_voiced4b.py, C=32768, one
+process each, 2026-08-19): production fori_loop kernel 1.404 ms,
+no-reduce floor 0.842 ms — the three per-sample jnp.sums were ~40% of
+the kernel. Three stacked changes, all adopted:
+  1. Full Python unroll of the 20-iteration loop (1.161 vs 1.404 ms —
+     Mosaic scalar-loop overhead was real).
+  2. LP 64 -> 56: the harmonic tiles carry no zero pad sublanes
+     (56 = 7 f32 vregs exactly), 12.5% fewer recurrence + fold ops.
+  3. Merged collapse: fold each [56, CB] component to one [8, CB]
+     partial (6 vreg adds), apply the per-sample window SCALARS to the
+     partials, add the interp [8, CB] product, then ONE 8-sublane
+     column sum per sample instead of three full jnp.sums
+     (1.100 ms total; ~1.28x the round-3 kernel, ~5% end-to-end).
+The merged collapse reassociates the float sum (window multiplied
+before the final 8-sublane fold): 1.6e-7 relative vs the round-3
+kernel, far inside the >=60 dB synthesis budget.
+
 Measured negatives (do not re-try): stride-8 interleaved oscillator chains
 (2.7x slower); merging prev/cur into one [128, CB] tile; explicit pairwise
 tree reduce for the emit sum (Mosaic already emits a tree for jnp.sum);
-wider channel blocks.
+wider channel blocks (cb=256 re-checked round 4: 1.393 vs 1.404 loop /
+1.126 vs 1.133 unrolled — noise); offloading the harmonic sums to the MXU
+via a [136, 8*cb] scratch + block-row-sum matrix (1.636 ms AND 1.6e-3
+error from bf16-class passes — t_voiced4.py `mxu`).
 """
 
 import jax
@@ -48,61 +68,73 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CB = 128   # channels per grid step (lane dimension)
-LP = 64    # harmonics padded to sublane tile
+LP = 56    # harmonic sublanes (7 f32 vregs exactly — no pad rows)
 LI = 8     # interpolated harmonics (7) padded to one sublane tile
 
 
-def _kernel(y0p_ref, y1p_ref, c2p_ref,
-            y0c_ref, y1c_ref, c2c_ref,
-            a0_ref, da_ref, oc_ref, os_ref, dc_ref, ds_ref,
-            r2c_ref, r2s_ref, wp_ref, wc_ref,
-            out_ref):
-    c2p = c2p_ref[...]
-    c2c = c2c_ref[...]
-    r2c = r2c_ref[...]
-    r2s = r2s_ref[...]
-    da = da_ref[...]
+def _make_kernel(unroll: bool):
+    """Kernel body; `unroll=True` Python-unrolls the 20-iteration outer
+    loop (the Mosaic-compiled production form — 1.161 vs 1.231 ms at
+    C=32768). Interpret mode keeps the fori_loop: the fully unrolled body
+    makes the interpret-mode XLA CPU graph explode (>25 min / >50 GB to
+    compile on the 1-core CI host). The per-sample math is identical."""
 
-    def emit8(y0, y1, c2):
-        rows = []
-        for _ in range(8):
-            rows.append(jnp.sum(y0, axis=0, keepdims=True))
-            y0, y1 = y1, c2 * y1 - y0
-        return jnp.concatenate(rows, axis=0), y0, y1
+    def kernel(y0p_ref, y1p_ref, c2p_ref,
+               y0c_ref, y1c_ref, c2c_ref,
+               a0_ref, da_ref, oc_ref, os_ref, dc_ref, ds_ref,
+               r2c_ref, r2s_ref, wp_ref, wc_ref,
+               out_ref):
+        c2p = c2p_ref[...]
+        c2c = c2c_ref[...]
+        r2c = r2c_ref[...]
+        r2s = r2s_ref[...]
+        da = da_ref[...]
 
-    def emit8i(carry):
+        def fold8(y):  # [56, CB] -> [8, CB] partial sums (6 vreg adds)
+            acc = y[0:8, :]
+            for v in range(1, LP // 8):
+                acc = acc + y[8 * v:8 * (v + 1), :]
+            return acc
+
         # interpolated path (JMBE #134-138, mbelib.c:953-968): quadratic
         # phase theta_n = phi + alpha*n + q*n^2 via a double rotor — the
         # oscillator rotates by delta_n = alpha + q*(2n+1), and the delta
         # rotor itself rotates by the constant 2q. Amplitude is the linear
         # lerp a0 + n*da, one add per sample.
-        a, oc, osn, dc, dsn = carry
-        rows = []
-        for _ in range(8):
-            rows.append(jnp.sum(a * oc, axis=0, keepdims=True))
-            oc, osn = oc * dc - osn * dsn, osn * dc + oc * dsn
-            dc, dsn = dc * r2c - dsn * r2s, dsn * r2c + dc * r2s
-            a = a + da
-        return jnp.concatenate(rows, axis=0), (a, oc, osn, dc, dsn)
+        def body(n, carry):
+            y0p, y1p, y0c, y1c, (a, oc, osn, dc, dsn) = carry
+            rows = []
+            for k in range(8):
+                # window the [8, CB] partials, add the interp products,
+                # ONE 8-sublane collapse (same w*sum + w*sum + interp
+                # value as the old three-reduce epilogue, reassociated)
+                w = (wp_ref[pl.ds(n * 8 + k, 1), :] * fold8(y0p)
+                     + wc_ref[pl.ds(n * 8 + k, 1), :] * fold8(y0c)
+                     + a * oc)
+                rows.append(jnp.sum(w, axis=0, keepdims=True))
+                y0p, y1p = y1p, c2p * y1p - y0p
+                y0c, y1c = y1c, c2c * y1c - y0c
+                oc, osn = oc * dc - osn * dsn, osn * dc + oc * dsn
+                dc, dsn = dc * r2c - dsn * r2s, dsn * r2c + dc * r2s
+                a = a + da
+            out_ref[pl.ds(n * 8, 8), :] = jnp.concatenate(rows, axis=0)
+            return y0p, y1p, y0c, y1c, (a, oc, osn, dc, dsn)
 
-    def body(n, carry):
-        y0p, y1p, y0c, y1c, ic = carry
-        rp, y0p, y1p = emit8(y0p, y1p, c2p)
-        rc, y0c, y1c = emit8(y0c, y1c, c2c)
-        ri, ic = emit8i(ic)
-        # windows folded in-kernel (same w*sum + w*sum + interp order as
-        # the old XLA epilogue): ONE [8, CB] store instead of three, and
-        # the caller keeps a single [160, C] result to transpose.
-        out_ref[pl.ds(n * 8, 8), :] = (
-            wp_ref[pl.ds(n * 8, 8), :] * rp
-            + wc_ref[pl.ds(n * 8, 8), :] * rc + ri)
-        return y0p, y1p, y0c, y1c, ic
+        init = (y0p_ref[...], y1p_ref[...], y0c_ref[...], y1c_ref[...],
+                (a0_ref[...], oc_ref[...], os_ref[...],
+                 dc_ref[...], ds_ref[...]))
+        if unroll:
+            carry = init
+            for n in range(20):
+                carry = body(n, carry)
+        else:
+            jax.lax.fori_loop(0, 20, body, init)
 
-    jax.lax.fori_loop(
-        0, 20, body,
-        (y0p_ref[...], y1p_ref[...], y0c_ref[...], y1c_ref[...],
-         (a0_ref[...], oc_ref[...], os_ref[...],
-          dc_ref[...], ds_ref[...])))
+    return kernel
+
+
+_kernel = _make_kernel(unroll=True)
+_kernel_loop = _make_kernel(unroll=False)
 
 
 def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
@@ -134,14 +166,11 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
     c = gain_prev.shape[1]
 
     def prep(g, phi, step):
-        # pad harmonics to 64 sublanes, fold gains (inputs arrive [56, C] —
-        # the channel-minor state layout matches the kernel layout, so the
-        # transposes this prep used to do are gone)
-        gT = jnp.pad(g, ((0, LP - 56), (0, 0)))
-        phiT = jnp.pad(phi, ((0, LP - 56), (0, 0)))
-        stepT = jnp.pad(step, ((0, LP - 56), (0, 0)))
-        return (gT * jnp.cos(phiT), gT * jnp.cos(phiT + stepT),
-                jnp.float32(2.0) * jnp.cos(stepT))
+        # fold gains into the oscillator state (inputs arrive [56, C] —
+        # the channel-minor state layout matches the kernel layout, and
+        # since round 4 LP == 56, no pad rows either)
+        return (g * jnp.cos(phi), g * jnp.cos(phi + step),
+                jnp.float32(2.0) * jnp.cos(step))
 
     a = prep(gain_prev, phi_prev, step_prev)
     b = prep(gain_cur, phi_cur0, step_cur)
@@ -173,7 +202,7 @@ def voiced_sums(gain_prev, phi_prev, step_prev, gain_cur, phi_cur0, step_cur,
     out_spec = pl.BlockSpec((160, cb), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _kernel,
+        _kernel_loop if interpret else _kernel,
         interpret=interpret,
         grid=(c // cb,),
         in_specs=[in_spec] * 6 + [in_spec7] * 8 + [w_spec, w_spec],

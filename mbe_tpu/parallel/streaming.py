@@ -3,17 +3,34 @@
 Per 20 ms tick, each channel needs <=24 bytes of frame bits in and 320 bytes
 of PCM out — the device work dominates, so a simple double-buffered loop
 (enqueue frame t+1 while frame t computes, donate the state) keeps the chip
-busy. Input bytes are expanded to bit lanes with the native host shim
-(mbe_tpu/native.py).
+busy.
+
+Packed uint8 frames are shipped to the device AS BYTES and expanded to bit
+lanes inside the jitted step (one shift-and-mask pass): transferring int32
+bit lanes instead would inflate host->device traffic 32x (12 MB vs 0.4 MB
+per step at C=16384 imbe7200), which dominates over this machine's TPU
+tunnel. The host-side native unpack shim (mbe_tpu/native.py) remains for
+callers that already hold bit arrays.
 """
 
 import collections
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import native, pipeline
 from ..models import state as state_mod
+
+
+def unpack_bits_device(packed, n_bits: int):
+    """[C, S] uint8 packed MSB-first -> [C, n_bits] int32 0/1 on device.
+
+    Matches native.unpack_bits / np.unpackbits semantics (bit i of the
+    stream = bit (7 - i%8) of byte i//8)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)[None, None, :]
+    bits = (packed.astype(jnp.int32)[:, :, None] >> shifts) & 1
+    return bits.reshape(packed.shape[0], -1)[:, :n_bits]
 
 
 class StreamingDecoder:
@@ -26,25 +43,38 @@ class StreamingDecoder:
                 sink(pcm)
         for pcm in dec.flush():
             sink(pcm)
+
+    `unpack="device"` (default) ships packed bytes and unpacks in-step;
+    `unpack="host"` expands with the native shim before transfer (32x more
+    host->device bytes — kept for parity testing and bit-array callers).
     """
 
     def __init__(self, codec: str, channels: int, rng_seed=None,
-                 depth: int = 2, int16: bool = True):
+                 depth: int = 2, int16: bool = True, unpack: str = "device"):
         self.codec = codec
         self.channels = channels
         self.rows, self.cols = pipeline.FRAME_SHAPES[codec]
         self.n_bits = self.rows * self.cols
         self._state = state_mod.init_state(channels, rng_seed)
         self._int16 = int16
+        self._unpack_mode = unpack
 
-        def _step(frame, state):
-            st, audio, res, _ = pipeline.step(codec, frame, state)
+        def _finish(st, audio, res):
             if int16:
                 from ..ops import synth as synth_ops
                 audio = synth_ops.float_to_short(audio)
             return st, audio, res
 
+        def _step(frame, state):
+            return _finish(*pipeline.step(codec, frame, state)[:3])
+
+        def _step_packed(packed, state):
+            frame = unpack_bits_device(packed, self.n_bits).reshape(
+                channels, self.rows, self.cols)
+            return _finish(*pipeline.step(codec, frame, state)[:3])
+
         self._step = jax.jit(_step, donate_argnums=(1,))
+        self._step_packed = jax.jit(_step_packed, donate_argnums=(1,))
         self._inflight = collections.deque()
         self._depth = depth
 
@@ -58,10 +88,15 @@ class StreamingDecoder:
         [C, rows, cols] 0/1 int). Yields completed PCM blocks (may be empty
         while the pipeline fills)."""
         if packed_frames.dtype == np.uint8 and packed_frames.ndim == 2:
-            frame = self._unpack(packed_frames)
+            if self._unpack_mode == "device":
+                self._state, audio, res = self._step_packed(
+                    packed_frames, self._state)
+            else:
+                self._state, audio, res = self._step(
+                    self._unpack(packed_frames), self._state)
         else:
             frame = np.asarray(packed_frames, np.int32)
-        self._state, audio, res = self._step(frame, self._state)
+            self._state, audio, res = self._step(frame, self._state)
         self._inflight.append((audio, res))
         while len(self._inflight) > self._depth:
             audio, res = self._inflight.popleft()

@@ -83,7 +83,17 @@ def spectral_update(cur_L, prev_L, prev_Ml, prev_log2Ml, Tl, *,
     deltal = flokl - intkl.astype(jnp.float32)
     upper = jnp.minimum(intkl + 1, 56)
 
-    lg_lo, lg_hi = _permute(intkl, pLg)[0], _permute(upper, pLg)[0]
+    # shared-eq lo/hi pick: upper == min(intkl+1, 56) by construction, so
+    # one compare chain feeds both selects (3 ops/m instead of the 4 two
+    # independent _permute calls cost; bit-exact exclusive select)
+    lg_lo = jnp.zeros_like(pLg)
+    lg_hi = jnp.zeros_like(pLg)
+    for m in range(57):
+        eq = intkl == m
+        lg_lo = jnp.where(eq, pLg[m:m + 1, :], lg_lo)
+        lg_hi = jnp.where(eq, pLg[min(m + 1, 56):min(m + 1, 56) + 1, :],
+                          lg_hi)
+    del upper
     interp = (1.0 - deltal) * lg_lo + deltal * lg_hi
     ssum = jnp.sum(jnp.where(mask, interp, 0.0), axis=0)
     wsum = (weight / cL.astype(jnp.float32)) * ssum  # Sum43 / Sum77

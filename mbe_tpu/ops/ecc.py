@@ -76,6 +76,85 @@ def popcount32(x):
     return (x + (x >> 8) + (x >> 16) + (x >> 24)) & 0x3F
 
 
+def _golay_gp_masks():
+    """gp_masks[p] = data-word mask whose parity gives expected parity bit
+    p: sum_i [golayGenerator[i] has bit p] << (11-i)."""
+    gg = np.asarray(T.golayGenerator, np.int64)
+    gp = np.zeros(11, np.int64)
+    for p in range(11):
+        for i in range(12):
+            if (gg[i] >> p) & 1:
+                gp[p] |= 1 << (11 - i)
+    return gp
+
+
+def _golay_g24():
+    """Extended-Golay [I_12 | A] rest-part rows + column masks, built from
+    this code's generator basis.
+
+    Row j of A is the 12-bit (parity[11] | extparity[1]) part of the
+    extended codeword for data bit j; G24 is self-dual, so A @ A.T == I
+    over GF(2) (asserted at build). Amask[p] packs column p of A over j.
+    """
+    gp = _golay_gp_masks()
+    A = np.zeros(12, np.int64)
+    for j in range(12):
+        c = 0
+        for p in range(11):
+            c |= ((gp[p] >> j) & 1) << p
+        b = (1 + bin(c).count("1")) & 1  # extend to even weight
+        A[j] = c | (b << 11)
+    for i in range(12):
+        for j in range(12):
+            assert (bin(A[i] & A[j]).count("1") & 1) == (i == j)
+    Amask = np.zeros(12, np.int64)
+    for p in range(12):
+        for j in range(12):
+            Amask[p] |= ((A[j] >> p) & 1) << j
+    return gp, A, Amask
+
+
+_GOLAY_GP, _GOLAY_A, _GOLAY_AMASK = _golay_g24()
+
+
+def golay_mask_from_syndrome(s11):
+    """Coset-leader data-bit correction mask for an 11-bit Golay syndrome —
+    the algebraic equivalent of the reference's 2048-entry golayMatrix
+    (ecc_const.c), verified identical on all 2048 syndromes
+    (test_ecc.py::test_golay_syndrome_mask_matches_reference_table).
+
+    Golay(23,12) is perfect: every syndrome has a unique weight<=3 coset
+    leader, recovered with the standard extended-G24 IMLD (two-sided
+    syndrome decode) on the word (data=0, parity=s11, extbit chosen to
+    make the 24-bit weight odd, so the error weight is odd <=3 and the
+    wt-4 ambiguity of G24 never arises). ~300 lane-dense int ops replace
+    the [C, 2048] compare-reduce the LUT needed (bits.lut1d at this table
+    size cost ~0.2 ms/step at C=32768 — the bulk of the golay_hard
+    ablation).
+    """
+    s11 = s11.astype(jnp.int32)
+    rb = _parity(s11) ^ 1
+    s = s11 | (rb << 11)
+    e = jnp.zeros_like(s11)
+    done = _popcount12(s) <= 3                      # e_data = 0
+    for j in range(12):                             # single data-bit error
+        hit = _popcount12(s ^ jnp.int32(int(_GOLAY_A[j]))) <= 2
+        e = jnp.where(hit & ~done, jnp.int32(1 << j), e)
+        done = done | hit
+    t = jnp.zeros_like(s11)                         # t = A @ s
+    for j in range(12):
+        t = t | (_parity(s & jnp.int32(int(_GOLAY_A[j]))) << j)
+    hit = _popcount12(t) <= 3                       # parity bits clean
+    e = jnp.where(hit & ~done, t, e)
+    done = done | hit
+    for k in range(12):                             # single parity-bit error
+        cand = t ^ jnp.int32(int(_GOLAY_AMASK[k]))
+        hit = _popcount12(cand) <= 2
+        e = jnp.where(hit & ~done, cand, e)
+        done = done | hit
+    return e
+
+
 def golay2312_hard_packed(word):
     """Packed-word Golay(23,12) hard decode.
 
@@ -85,30 +164,23 @@ def golay2312_hard_packed(word):
     errs [...]) — errs counts corrected data-bit errors (ecc.c:259-301).
 
     The 11 syndrome parities run as xor-folds over generator masks — ~30
-    lane-dense int ops, no bit-plane arrays at all.
+    lane-dense int ops, no bit-plane arrays at all; the syndrome -> mask
+    step is the algebraic IMLD (golay_mask_from_syndrome) instead of the
+    reference's 2048-entry LUT.
     """
     word = word.astype(jnp.int32)
     data = word >> 11
     ecc_in = word & 0x7FF
 
-    # ecc_expected: row i of golayGenerator selected by codeword bit 22-i ==
-    # data bit 11-i; as parity over per-parity-bit masks of the data word.
-    # gp_masks[p] = sum_i [generator[i] has bit p] << (11-i)
-    gg = np.asarray(T.golayGenerator, np.int64)
-    gp = np.zeros(11, np.int64)
-    for p in range(11):
-        for i in range(12):
-            if (gg[i] >> p) & 1:
-                gp[p] |= 1 << (11 - i)
-
     # per-mask unrolled syndrome (measured faster than a [..., 11] trailer
-    # axis) + compare-reduce LUT (a dynamic gather here cost 1 ms/step;
-    # see bits.lut1d). 1.15x end-to-end, bit-exact.
+    # axis); ecc_expected: row i of golayGenerator selected by codeword bit
+    # 22-i == data bit 11-i, as parity over per-parity-bit data masks.
     syndrome = jnp.zeros_like(data)
     for p in range(11):
-        syn_p = _parity(data & jnp.int32(int(gp[p]))) ^ ((ecc_in >> p) & 1)
+        syn_p = (_parity(data & jnp.int32(int(_GOLAY_GP[p])))
+                 ^ ((ecc_in >> p) & 1))
         syndrome = syndrome | (syn_p << p)
-    mask = bit_ops.lut1d(syndrome, np.asarray(T.golayMatrix, np.int32))
+    mask = golay_mask_from_syndrome(syndrome)
     corrected = data ^ mask
     errs = _popcount12(data ^ corrected)
     return (corrected << 11) | ecc_in, errs

@@ -2,6 +2,7 @@
 (mirrors tests/test_ecc.c of the reference)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mbe_tpu.ops import ecc
@@ -102,3 +103,16 @@ def test_prng_keywords_match_bit_keystream():
                   * (1 << np.arange(w))[:, None]).sum(axis=0)
         np.testing.assert_array_equal(kw[r], expect)
         k += w
+
+
+def test_golay_syndrome_mask_matches_reference_table():
+    """The algebraic IMLD mask (ops/ecc.golay_mask_from_syndrome) equals
+    the reference's precomputed golayMatrix (ecc_const.c) on ALL 2048
+    syndromes — Golay(23,12) is perfect, so the weight<=3 coset leader is
+    unique and the two formulations must agree bit-for-bit."""
+    from mbe_tpu.ops import ecc
+    from mbe_tpu.tables import T
+
+    s = jnp.arange(2048, dtype=jnp.int32)
+    mask = np.asarray(jax.jit(ecc.golay_mask_from_syndrome)(s))
+    np.testing.assert_array_equal(mask, np.asarray(T.golayMatrix, np.int64))

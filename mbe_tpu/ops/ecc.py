@@ -261,10 +261,14 @@ def golay2312_soft(bits, rel):
     if _use_pallas_soft(bits):
         from .pallas import softecc
         lead = bits.shape[:-1]
+        # codeword index == packed data word (systematic codebook,
+        # tables.py), so the matches-hard flag is an index compare
+        idx_hard = jnp.sum(hard_out[..., 11:] * jnp.asarray(_POW2_12),
+                           axis=-1)
         key = softecc.golay2312_soft_keys(
             bits.astype(jnp.int32).reshape(-1, 23),
             rel.astype(jnp.int32).reshape(-1, 23),
-            hard_out.reshape(-1, 23), T.golay_codewords).reshape(lead)
+            idx_hard.reshape(-1), T.golay_codewords).reshape(lead)
         best = key & 0xFFF
         best_diffs = (key >> 12) & 0xF
         # codeword row gather -> packed-word lut1d + bit unpack (the data
@@ -325,6 +329,12 @@ def hamming1511_hard(bits, variant7100=False):
     return out, errs
 
 
+# Hamming(15,11) data-bit positions (LSB-first codeword index i has data
+# bit i at pos[i]; tools/gen_tables.py:159-168, from ecc.c:138-155)
+_HAM_DATA_POS_STD = [2, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14]
+_HAM_DATA_POS_7100 = [4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+
+
 def hamming1511_soft(bits, rel, variant7100=False):
     """Soft Hamming(15,11) (ecc.c:157-215). Diffs counted over all 15 bits."""
     cb = T.hamming_codewords_7100 if variant7100 else T.hamming_codewords_std
@@ -332,10 +342,17 @@ def hamming1511_soft(bits, rel, variant7100=False):
     if _use_pallas_soft(bits):
         from .pallas import softecc
         lead = bits.shape[:-1]
+        # codeword index == data word at data_pos (tools/gen_tables.py
+        # hamming_codebook), so matches-hard is an index compare; w picks
+        # the data positions with their index weights
+        pos = (_HAM_DATA_POS_7100 if variant7100 else _HAM_DATA_POS_STD)
+        w = np.zeros(15, np.int32)
+        w[pos] = 1 << np.arange(11)
+        idx_hard = jnp.sum(hard_out * jnp.asarray(w), axis=-1)
         key = softecc.hamming1511_soft_keys(
             bits.astype(jnp.int32).reshape(-1, 15),
             rel.astype(jnp.int32).reshape(-1, 15),
-            hard_out.reshape(-1, 15), cb, variant7100).reshape(lead)
+            idx_hard.reshape(-1), cb, variant7100).reshape(lead)
         best = key & 0x7FF
         best_diffs = (key >> 11) & 0xF
         pk = np.asarray(T.hamming_7100_packed if variant7100

@@ -58,6 +58,19 @@ def test_soft_ecc_kernel_matches_xla():
     from mbe_tpu.ops.pallas import softecc
     from mbe_tpu.tables import T
 
+    # index-systematic precondition for the kernel's matches-hard
+    # iota-compare: codeword index == packed data word, for all 3 codebooks
+    np.testing.assert_array_equal(
+        (T.golay_codewords[:, 11:].astype(np.int64)
+         << np.arange(12)).sum(axis=1), np.arange(4096))
+    for v7 in (False, True):
+        cb = T.hamming_codewords_7100 if v7 else T.hamming_codewords_std
+        pos = (ecc._HAM_DATA_POS_7100 if v7 else ecc._HAM_DATA_POS_STD)
+        w = np.zeros(15, np.int64)
+        w[pos] = 1 << np.arange(11)
+        np.testing.assert_array_equal(
+            (cb.astype(np.int64) * w).sum(axis=1), np.arange(2048))
+
     rng = np.random.default_rng(42)
     c = 256
     bits = rng.integers(0, 2, (c, 23)).astype(np.int32)
@@ -67,8 +80,11 @@ def test_soft_ecc_kernel_matches_xla():
     for rel in cases:
         out_ref, diffs_ref = jax.jit(ecc.golay2312_soft)(bits, rel)
         hard, _ = ecc.golay2312_hard(bits)
+        idxh = jnp.asarray(
+            (np.asarray(hard)[:, 11:] << np.arange(12)).sum(axis=1),
+            dtype=jnp.int32)
         key = np.asarray(softecc.golay2312_soft_keys(
-            jnp.asarray(bits), jnp.asarray(rel), hard,
+            jnp.asarray(bits), jnp.asarray(rel), idxh,
             T.golay_codewords, interpret=True))
         best, bd = key & 0xFFF, (key >> 12) & 0xF
         cw = T.golay_codewords.astype(np.int32)
@@ -83,8 +99,13 @@ def test_soft_ecc_kernel_matches_xla():
         out_ref, diffs_ref = jax.jit(
             lambda b, r, v=v7: ecc.hamming1511_soft(b, r, v))(hb, hr)
         hard, _ = ecc.hamming1511_hard(hb, v7)
+        pos = (ecc._HAM_DATA_POS_7100 if v7 else ecc._HAM_DATA_POS_STD)
+        w = np.zeros(15, np.int64)
+        w[pos] = 1 << np.arange(11)
+        idxh = jnp.asarray((np.asarray(hard) * w).sum(axis=1),
+                           dtype=jnp.int32)
         key = np.asarray(softecc.hamming1511_soft_keys(
-            jnp.asarray(hb), jnp.asarray(hr), hard, cb, v7, interpret=True))
+            jnp.asarray(hb), jnp.asarray(hr), idxh, cb, v7, interpret=True))
         best, bd = key & 0x7FF, (key >> 11) & 0xF
         np.testing.assert_array_equal(np.asarray(out_ref),
                                       cb.astype(np.int32)[best])

@@ -22,6 +22,34 @@ import numpy as np
 from .. import native, pipeline
 from ..models import state as state_mod
 
+# Fixed key order for the bundled result block (see _bundle below).
+_RES_KEYS = ("c0_errors", "protected_errors", "c4_errors", "total_errors",
+             "flags")
+
+
+def _bundle(audio, res):
+    """Concatenate the PCM block and the five per-channel int32 result
+    arrays into ONE device buffer, so the host pulls a single transfer
+    per tick.
+
+    Over this machine's experimental TPU tunnel every device->host fetch
+    carries a large fixed cost (tools/t_tunnel.py measured ~60-80 ms per
+    round-trip on 2026-08-19), so the naive (audio, dict-of-5) fetch paid
+    six fixed costs per tick — 6x the payload's wire time. The result
+    words are bitcast into the PCM dtype and appended as extra columns;
+    `_unbundle` reverses this loss-free on the host."""
+    c = audio.shape[0]
+    resw = jnp.stack([res[k].astype(jnp.int32) for k in _RES_KEYS], axis=1)
+    cols = jax.lax.bitcast_convert_type(resw, audio.dtype).reshape(c, -1)
+    return jnp.concatenate([audio, cols], axis=1)
+
+
+def _unbundle(buf: np.ndarray, n_samples: int = 160):
+    """Host-side inverse of `_bundle`: -> (audio [C,160], res dict)."""
+    audio = buf[:, :n_samples]
+    resw = np.ascontiguousarray(buf[:, n_samples:]).view(np.int32)
+    return audio, {k: resw[:, i] for i, k in enumerate(_RES_KEYS)}
+
 
 def unpack_bits_device(packed, n_bits: int):
     """[C, S] uint8 packed MSB-first -> [C, n_bits] int32 0/1 on device.
@@ -63,7 +91,7 @@ class StreamingDecoder:
             if int16:
                 from ..ops import synth as synth_ops
                 audio = synth_ops.float_to_short(audio)
-            return st, audio, res
+            return st, _bundle(audio, res)
 
         def _step(frame, state):
             return _finish(*pipeline.step(codec, frame, state)[:3])
@@ -89,20 +117,18 @@ class StreamingDecoder:
         while the pipeline fills)."""
         if packed_frames.dtype == np.uint8 and packed_frames.ndim == 2:
             if self._unpack_mode == "device":
-                self._state, audio, res = self._step_packed(
+                self._state, bundle = self._step_packed(
                     packed_frames, self._state)
             else:
-                self._state, audio, res = self._step(
+                self._state, bundle = self._step(
                     self._unpack(packed_frames), self._state)
         else:
             frame = np.asarray(packed_frames, np.int32)
-            self._state, audio, res = self._step(frame, self._state)
-        self._inflight.append((audio, res))
+            self._state, bundle = self._step(frame, self._state)
+        self._inflight.append(bundle)
         while len(self._inflight) > self._depth:
-            audio, res = self._inflight.popleft()
-            yield np.asarray(audio), jax.tree.map(np.asarray, res)
+            yield _unbundle(np.asarray(self._inflight.popleft()))
 
     def flush(self):
         while self._inflight:
-            audio, res = self._inflight.popleft()
-            yield np.asarray(audio), jax.tree.map(np.asarray, res)
+            yield _unbundle(np.asarray(self._inflight.popleft()))

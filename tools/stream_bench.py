@@ -47,7 +47,9 @@ def run_stream(codec, c, frames, depth, unpack, pool):
     for _pcm, _res in dec.flush():
         n_out += 1
     dt = time.time() - t0
-    assert n_out == frames + depth + 1, (n_out, frames)
+    # After warm-up the window holds exactly `depth` blocks, so every timed
+    # push yields one block and flush drains the remaining `depth`.
+    assert n_out == frames + depth, (n_out, frames, depth)
     return c * frames / dt
 
 

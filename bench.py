@@ -53,7 +53,8 @@ from mbe_tpu.models import state as st  # noqa: E402
 BASELINE_FRAMES_PER_SEC = 39290.0  # reference bench_synth, 1 CPU core
 
 
-def bench(codec="imbe7200", channels=8192, steps=50, reps=3, soft=False):
+def bench(codec="imbe7200", channels=8192, steps=50, reps=3, soft=False,
+          unroll=4):
     """Returns (best_fps, median_fps, compile_plus_first_run_seconds).
 
     best and median are over `reps` in-process repeats; the spread is
@@ -72,8 +73,12 @@ def bench(codec="imbe7200", channels=8192, steps=50, reps=3, soft=False):
         s2, audio, res, _ = pipeline.step(codec, frame, s, soft_rel=rel)
         return (s2, acc + jnp.sum(audio)), 0  # consume the PCM
 
+    # unroll: repeat the frame body per scan iteration so XLA keeps the
+    # intermediate decoder state in VMEM instead of round-tripping the
+    # full HBM carry every frame — measured 1.10x at unroll=4
+    # (tools/t_unroll2.py; parity contract in docs/PERFORMANCE.md).
     run = jax.jit(lambda s0: jax.lax.scan(
-        body, (s0, jnp.float32(0)), None, length=steps)[0])
+        body, (s0, jnp.float32(0)), None, length=steps, unroll=unroll)[0])
 
     def init():
         # IMBE streams drop the redundant enh carry (state.py docstring)
@@ -147,19 +152,22 @@ def main():
     full = os.environ.get("MBE_BENCH_FULL", "1") != "0"
 
     reps = int(os.environ.get("MBE_BENCH_REPS", "5"))
+    unroll = int(os.environ.get("MBE_BENCH_UNROLL", "4"))
     fps, fps_med, compile_s = bench(codec="imbe7200", channels=channels,
-                                    steps=steps, reps=reps)
+                                    steps=steps, reps=reps,
+                                    unroll=unroll)
 
     extra = {"imbe7200_hard_fps_median": round(fps_med, 1)}
     if full:
         for codec in ("imbe7100", "ambe2450", "ambe2400"):
             f, fm, _ = bench(codec=codec, channels=channels, steps=steps,
-                             reps=reps)
+                             reps=reps, unroll=unroll)
             extra[f"{codec}_hard_fps"] = round(f, 1)
             extra[f"{codec}_hard_fps_median"] = round(fm, 1)
         for codec in ("imbe7200", "imbe7100", "ambe2450", "ambe2400"):
             f, fm, _ = bench(codec=codec, channels=soft_channels,
-                             steps=steps, soft=True, reps=reps)
+                             steps=steps, soft=True, reps=reps,
+                             unroll=unroll)
             extra[f"{codec}_soft_fps"] = round(f, 1)
             extra[f"{codec}_soft_fps_median"] = round(fm, 1)
 

@@ -171,10 +171,22 @@ def step_int16(codec: str, frame, state: ChannelState, soft_rel=None,
 
 
 def run_sequence(codec: str, frames, state: ChannelState, soft_rel=None,
-                 int16=False, config: DecoderConfig = DEFAULT_CONFIG):
+                 int16=False, config: DecoderConfig = DEFAULT_CONFIG,
+                 unroll: int = 1):
     """Scan a [T, C, rows, cols] frame sequence through the decoder.
 
     Returns (state', pcm [T, C, 160], results dict of [T, C] arrays).
+
+    `unroll` repeats the frame body that many times per scan iteration
+    (lax.scan's native unroll), letting XLA keep the intermediate decoder
+    state in VMEM between unrolled frames instead of round-tripping the
+    full carry (3.4 KB/channel) through HBM every frame: measured 1.07x
+    end-to-end at unroll=2 and 1.10x at unroll=4 (C=32768 imbe7200 hard,
+    tools/t_unroll2.py, 2026-08-19), for ~2x / ~4x the compile time.
+    Bit-domain outputs (error counts, flags, integer state) are exactly
+    unchanged; float PCM can differ at the XLA excess-precision/fusion
+    level (measured <=1.5e-4 rel — test_run_sequence_unroll_parity), the
+    same tolerance class as a compiler upgrade.
     """
     int16 = int16 or config.int16_output
 
@@ -189,5 +201,5 @@ def run_sequence(codec: str, frames, state: ChannelState, soft_rel=None,
         return st, (audio, res)
 
     inputs = frames if soft_rel is None else (frames, soft_rel)
-    state, (pcm, results) = jax.lax.scan(body, state, inputs)
+    state, (pcm, results) = jax.lax.scan(body, state, inputs, unroll=unroll)
     return state, pcm, results

@@ -38,7 +38,7 @@ def init_for(codec: str, channels: int):
     return st.init_state(channels, carry_enh=not codec.startswith("imbe"))
 
 
-def build(codec: str, channels: int, steps: int = 50):
+def build(codec: str, channels: int, steps: int = 50, unroll: int = 1):
     if codec not in pipeline.FRAME_SHAPES:
         raise SystemExit(f"unknown codec {codec!r}; one of "
                          f"{sorted(pipeline.FRAME_SHAPES)}")
@@ -53,7 +53,8 @@ def build(codec: str, channels: int, steps: int = 50):
         return (s2, acc + jnp.sum(audio)), 0  # consume the PCM
 
     return jax.jit(lambda s0: jax.lax.scan(
-        body, (s0, jnp.float32(0)), None, length=steps)[0]), steps
+        body, (s0, jnp.float32(0)), None, length=steps,
+        unroll=unroll)[0]), steps
 
 
 def measure(fn, channels: int, steps: int, reps: int = 3, codec="imbe7200"):

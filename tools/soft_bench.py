@@ -26,7 +26,7 @@ from mbe_tpu import pipeline  # noqa: E402
 from mbe_tpu.models import state as st  # noqa: E402
 
 
-def build(codec: str, channels: int, steps: int = 50):
+def build(codec: str, channels: int, steps: int = 50, unroll: int = 1):
     rows, cols = pipeline.FRAME_SHAPES[codec]
     rng = np.random.default_rng(0)
     frame = jax.device_put(
@@ -40,7 +40,8 @@ def build(codec: str, channels: int, steps: int = 50):
         return (s2, acc + jnp.sum(audio)), 0  # consume the PCM
 
     return jax.jit(lambda s0: jax.lax.scan(
-        body, (s0, jnp.float32(0)), None, length=steps)[0]), steps
+        body, (s0, jnp.float32(0)), None, length=steps,
+        unroll=unroll)[0]), steps
 
 
 def _init(codec, channels):

@@ -32,11 +32,11 @@ def main():
 
     rows = []
     for codec in CODECS:
-        fn, steps = ab_bench.build(codec, hard_c)
+        fn, steps = ab_bench.build(codec, hard_c, unroll=4)
         th = ab_bench.measure(fn, hard_c, steps, reps, codec=codec)
         print(f"# {codec} hard C={hard_c}: {th*1e3:.2f} ms/step "
               f"({hard_c/th:,.0f} f/s)", flush=True)
-        fs, steps_s = soft_bench.build(codec, soft_c)
+        fs, steps_s = soft_bench.build(codec, soft_c, unroll=4)
         ts = soft_bench.measure(fs, soft_c, steps_s, reps, codec=codec)
         print(f"# {codec} soft C={soft_c}: {ts*1e3:.2f} ms/step "
               f"({soft_c/ts:,.0f} f/s)", flush=True)

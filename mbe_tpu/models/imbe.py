@@ -8,6 +8,7 @@ by L9 lane-wise; all frame-type branching is mask-select.
 """
 
 import dataclasses
+import os
 from functools import lru_cache
 
 import jax
@@ -160,6 +161,40 @@ def _decode_tables():
     for col in range(NCOLS):
         col_bits.append(sorted({i for L9 in range(48) for i in range(88)
                                 if colT[L9, i] == col}))
+
+    # Packed-word scatter plan (round 4). The sparse compare-reduce scans
+    # 1125 (col, bit) incidence pairs, but across all 48 variants there are
+    # only 172 (col, t) field-bit SLOTS: slot (col, t) contributes bit t of
+    # field col, reading ONE variant-dependent source position. Extracting
+    # that bit with a per-lane variable shift from 3 packed int32 words is
+    # a fixed ~8 VPU ops per slot — 6.5x fewer scatter terms. Unused
+    # (variant, slot) entries point at bit 95: the packed words carry only
+    # 88 bits, so the extracted bit is an exact 0 and no mask is needed.
+    # Derived FROM colT/wT so the two formulations can't drift apart.
+    pos = np.full((48, NCOLS, 12), -1, np.int32)
+    for g in range(48):
+        for s in range(88):
+            colv = colT[g, s]
+            if colv < NCOLS:
+                t = int(round(np.log2(wT[g, s])))
+                pos[g, colv, t] = s
+    slot_fixed = []   # (col, t, src): same source bit for every variant
+    slot_var = []     # (col, t, word-index tuple) -> row of posT
+    posT_rows = []
+    for colv in range(NCOLS):
+        for t in range(12):
+            pv = pos[:, colv, t]
+            if (pv < 0).all():
+                continue
+            if (pv >= 0).all() and len(set(pv.tolist())) == 1:
+                slot_fixed.append((colv, t, int(pv[0])))
+            else:
+                row = np.where(pv >= 0, pv, 95)
+                slot_var.append(
+                    (colv, t, tuple(sorted({int(x) // 32 for x in row}))))
+                posT_rows.append(row.astype(np.float32))
+    posT = (np.stack(posT_rows) if posT_rows
+            else np.zeros((0, 48), np.float32))  # [Sv, 48], values <= 95
     band_slots = []
     for l in range(57):
         band_slots.append(sorted({int(s) for s in scl[:, l] if s >= 0}))
@@ -179,6 +214,7 @@ def _decode_tables():
         hoc_qfac=hoc_qfac, hoc_off=hoc_off,
         gain_step=gain_step, gain_off=gain_off,
         col_bits=col_bits, band_slots=band_slots, band_ts=band_ts,
+        slot_fixed=slot_fixed, slot_var=slot_var, posT=posT,
         L_by_b0=L_by_b0)
 
 
@@ -218,33 +254,70 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     onehotT = (L9[None, :] == jnp.arange(48, dtype=jnp.int32)[:, None]
                ).astype(jnp.float32)  # [48, C]
 
-    # --- all bit-layout reads as a fused per-bit scatter-add ---------------
-    # (replaces the bb[58][12] scatter of imbe7200x4400.c:156-168 and every
-    # bits_descending read; values are exact small integers in f32). Each
-    # input bit feeds exactly one reduced column with a 2^t weight, so two
-    # tiny [88,48]@[48,C] selects + one fused compare-reduce replace the old
-    # product-tensor matmul. Channel-minor: bits ride the lane axis.
-    # colT (<= 72) and wT (powers of two) are exact in bf16 and one-hot
-    # rows have exactly one nonzero term: 1 MXU pass instead of HIGHEST's 6
+    # --- all bit-layout reads of the bb[58][12] scatter ---------------------
+    # (imbe7200x4400.c:156-168 and every bits_descending read; values are
+    # exact small integers). Two bit-exact formulations, switched at trace
+    # time; "packed" is the round-4 winner (see docs/PERFORMANCE.md):
+    #   packed — pack the 88 bits into 3 int32 words, then extract each of
+    #     the 172 (col, t) field-bit slots with a per-lane variable shift;
+    #     the variant-dependent source position comes from one tiny
+    #     [Sv,48]@[48,C] one-hot matmul (positions <= 95, exact in bf16).
+    #   pairs — round-3 sparse compare-reduce over the 1125 (col, bit)
+    #     incidence pairs (per-bit col/weight selects + where-sums).
     onehot_bf = onehotT.astype(jnp.bfloat16)
-    colsel = jnp.matmul(jnp.asarray(tb["colT"], jnp.bfloat16).T, onehot_bf,
-                        preferred_element_type=jnp.float32)  # [88, C]
-    wsel = jnp.matmul(jnp.asarray(tb["wT"], jnp.bfloat16).T, onehot_bf,
-                      preferred_element_type=jnp.float32)
-    p = wsel * dT
-    # sparse per-column scatter-add: only the 1125 (col, bit) pairs some
-    # variant actually maps (the dense 72x88 compare-reduce wastes 5.6x the
-    # VPU work on pairs whose contribution is an exact zero). Sums are
-    # exact small integers in f32 — order-free, bitwise identical.
-    # (Storing p/colsel as bf16 to halve the re-read traffic measured
-    # 0.964x end-to-end — bit-exact but slower: the scatter is VPU-issue
-    # bound, not HBM-bound, and bf16 lanes add convert work. 2026-08-19.)
-    rows = []
-    for col, ii in enumerate(tb["col_bits"]):
-        idx = jnp.asarray(np.asarray(ii, np.int32))
-        sel = jnp.where(colsel[idx, :] == jnp.float32(col), p[idx, :], 0.0)
-        rows.append(jnp.sum(sel, axis=0, keepdims=True))
-    vals = jnp.concatenate(rows, axis=0)                     # [72, C]
+    if os.environ.get("MBE_TPU_IMBE_SCATTER", "packed") == "pairs":
+        colsel = jnp.matmul(jnp.asarray(tb["colT"], jnp.bfloat16).T,
+                            onehot_bf,
+                            preferred_element_type=jnp.float32)  # [88, C]
+        wsel = jnp.matmul(jnp.asarray(tb["wT"], jnp.bfloat16).T, onehot_bf,
+                          preferred_element_type=jnp.float32)
+        p = wsel * dT
+        # (Storing p/colsel as bf16 to halve the re-read traffic measured
+        # 0.964x end-to-end — the scatter is VPU-issue bound, not
+        # HBM-bound, and bf16 lanes add convert work. 2026-08-19.)
+        rows = []
+        for col, ii in enumerate(tb["col_bits"]):
+            idx = jnp.asarray(np.asarray(ii, np.int32))
+            sel = jnp.where(colsel[idx, :] == jnp.float32(col),
+                            p[idx, :], 0.0)
+            rows.append(jnp.sum(sel, axis=0, keepdims=True))
+        vals = jnp.concatenate(rows, axis=0)                 # [72, C]
+    else:
+        d_i = imbe_d.astype(jnp.int32)
+        words = []
+        for wd in range(3):
+            lo, hi = 32 * wd, min(32 * wd + 32, 88)
+            wts = (np.uint32(1) << np.arange(hi - lo, dtype=np.uint32)
+                   ).view(np.int32)  # 1<<31 wraps to INT32_MIN by design
+            words.append(jnp.sum(d_i[lo:hi] * jnp.asarray(wts)[:, None],
+                                 axis=0))  # [C] int32 each
+        pn_all = jnp.matmul(jnp.asarray(tb["posT"], jnp.bfloat16),
+                            onehot_bf,
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.int32)  # [Sv, C]
+        acc = [None] * tb["NCOLS"]
+
+        def _add(colv, bit, t):
+            contrib = bit if t == 0 else (bit << t)
+            acc[colv] = contrib if acc[colv] is None else acc[colv] + contrib
+
+        for colv, t, src in tb["slot_fixed"]:
+            _add(colv, (words[src // 32] >> (src % 32)) & 1, t)
+        for vi, (colv, t, wset) in enumerate(tb["slot_var"]):
+            pn = pn_all[vi]
+            if len(wset) == 1:
+                wsel_w = words[wset[0]]
+            elif len(wset) == 2:
+                wsel_w = jnp.where(pn < 32 * wset[1],
+                                   words[wset[0]], words[wset[1]])
+            else:
+                wsel_w = jnp.where(pn < 32, words[0],
+                                   jnp.where(pn < 64, words[1], words[2]))
+            # sentinel 95 lands in word 2 bit 31 == 0 (only 24 bits live)
+            _add(colv, (wsel_w >> (pn & 31)) & 1, t)
+        vals = jnp.concatenate(
+            [a[None, :] if a is not None else jnp.zeros((1, c), jnp.int32)
+             for a in acc], axis=0).astype(jnp.float32)      # [72, C]
 
     # --- voicing (imbe7200x4400.c:170-188) --------------------------------
     # Vl[l] = bb[1][max(K-1-(l-1)/3, 0)]: expand the 12 bb[1] source bits

@@ -151,3 +151,31 @@ def test_vuv_sparse_select_covers_all_runtime_jl():
         for t in range(8):
             dense = np.where(jl == t, vrow[t][None, :], dense)
         np.testing.assert_array_equal(got, dense.astype(np.int32))
+
+
+def test_imbe_scatter_packed_equals_pairs(monkeypatch):
+    """The packed-word variable-shift scatter and the sparse (col, bit)
+    compare-reduce are two formulations of the same bb[58][12] bit layout
+    (imbe7200x4400.c:156-168), switched at trace time by
+    MBE_TPU_IMBE_SCATTER. They must agree BITWISE on every L variant so
+    the fast path can never silently drift from the reference layout."""
+    from mbe_tpu.models import state
+    from mbe_tpu.models.imbe import _B0_IDX, decode_imbe4400_parms
+
+    rng = np.random.default_rng(21)
+    C = 256  # one lane per b0 value: covers all 48 variants + bad lanes
+    d = rng.integers(0, 2, (88, C)).astype(np.int32)
+    b0 = np.arange(C, dtype=np.int64)
+    for k in range(len(_B0_IDX)):
+        d[_B0_IDX[k], :] = (b0 >> (len(_B0_IDX) - 1 - k)) & 1
+    st = state.init_state(C)
+    dj = jax.numpy.asarray(d)
+
+    outs = {}
+    for mode in ("pairs", "packed"):
+        monkeypatch.setenv("MBE_TPU_IMBE_SCATTER", mode)
+        outs[mode] = jax.tree.map(
+            np.asarray,
+            jax.jit(decode_imbe4400_parms)(dj, st.cur, st.prev))
+    jax.tree.map(np.testing.assert_array_equal, outs["pairs"],
+                 outs["packed"])

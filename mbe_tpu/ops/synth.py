@@ -86,10 +86,11 @@ def _synthesis_window_256():
 _W_PREV, _W_CURR, _W_DENOM = None, None, None
 _WIN256 = None
 _TONE_STEPS = None
+_TONE_LUT = None
 
 
 def _lazy_tables():
-    global _W_PREV, _W_CURR, _W_DENOM, _WIN256, _TONE_STEPS
+    global _W_PREV, _W_CURR, _W_DENOM, _WIN256, _TONE_STEPS, _TONE_LUT
     if _W_PREV is None:
         _W_PREV, _W_CURR, _W_DENOM = _wola_weights()
         _WIN256 = _synthesis_window_256()
@@ -99,6 +100,29 @@ def _lazy_tables():
         steps = (freqs / 8000.0) * 4294967296.0
         steps = np.where(steps <= 0.0, 0.0, steps + 0.5).astype(np.uint64)
         _TONE_STEPS = (steps & 0xFFFFFFFF).astype(np.uint32)
+        # Per-tone-id lookup rows for render_tone, fetched with ONE exact
+        # bf16 one-hot matmul instead of five 256-entry compare-reduces
+        # (each lut1d re-streams its own [256, C] compare; the one-hot is
+        # built once and the MXU does the rest). The float frequencies are
+        # only ever COMPARED at runtime (active / dual), so they fold into
+        # precomputed 0/1 columns, and the uint32 steps split into four
+        # 8-bit limbs each — every table value <= 255, so bf16 products
+        # are exact and each one-hot row has exactly one nonzero term.
+        # Step limbs are pre-masked by active/dual exactly like the old
+        # runtime selects (step2 = 0 unless dual; step1 only read when
+        # active).
+        f32 = np.asarray(T.tone_freqs, np.float32)
+        valid = np.asarray(T.tone_valid, np.int32) != 0
+        active = valid & (f32[:, 0] > 0.0)
+        dual = ((f32[:, 1] > 0.0)
+                & (np.abs(f32[:, 1] - f32[:, 0]) > np.float32(1e-6)))
+        s1 = np.where(active, _TONE_STEPS[:, 0], 0).astype(np.uint32)
+        s2 = np.where(active & dual, _TONE_STEPS[:, 1], 0).astype(np.uint32)
+        cols = [active.astype(np.float32), (active & dual).astype(np.float32)]
+        for s in (s1, s2):
+            for b in range(4):
+                cols.append(((s >> (8 * b)) & 0xFF).astype(np.float32))
+        _TONE_LUT = np.stack(cols)  # [10, 256], values <= 255
 
 
 # ---------------------------------------------------------------------------
@@ -399,19 +423,23 @@ def render_tone(tone_id, amplitude_id, swn, tone_phase):
     """
     _lazy_tables()
     tid = jnp.clip(tone_id, 0, 255)
-    steps = np.asarray(_TONE_STEPS)   # [256, 2] uint32
-    freqs = np.asarray(T.tone_freqs)  # [256, 2] f32
-    # per-tone tables via fused compare-reduce (bits.lut1d; dynamic
-    # gathers cost ~0.25 ms per [C]-shaped take at C=32768)
-    valid = bit_ops.lut1d(tid, np.asarray(T.tone_valid, np.int32)) != 0
-    f1 = bit_ops.lut1d(tid, freqs[:, 0])
-    f2 = bit_ops.lut1d(tid, freqs[:, 1])
-    step1 = bit_ops.lut1d(tid, steps[:, 0])  # uint32 table, exact
-    step2_t = bit_ops.lut1d(tid, steps[:, 1])
-    active = valid & (f1 > 0.0)
+    # all per-tone-id tables in ONE exact one-hot bf16 matmul (_TONE_LUT
+    # construction comments above; dynamic gathers cost ~0.25 ms per
+    # [C]-shaped take at C=32768, and five separate lut1d compare-reduces
+    # each re-stream their own [256, C] compare)
+    onehot = (jnp.arange(256, dtype=jnp.int32)[:, None] == tid[None, :]
+              ).astype(jnp.bfloat16)  # [256, C]
+    lut = jnp.matmul(jnp.asarray(_TONE_LUT, jnp.bfloat16), onehot,
+                     preferred_element_type=jnp.float32)  # [10, C]
+    active = lut[0] > 0.0
+    dual = lut[1] > 0.0
 
-    dual = (f2 > 0.0) & (jnp.abs(f2 - f1) > 1e-6)
-    step2 = jnp.where(dual, step2_t, jnp.uint32(0))
+    def _u32(limbs):  # [4, C] exact 8-bit limb floats -> uint32
+        w = limbs.astype(jnp.uint32)
+        return w[0] | (w[1] << 8) | (w[2] << 16) | (w[3] << 24)
+
+    step1 = _u32(lut[2:6])   # pre-masked to 0 unless active
+    step2 = _u32(lut[6:10])  # pre-masked to 0 unless active & dual
     gain = (jnp.maximum(amplitude_id, 0).astype(jnp.float32) / jnp.float32(127.0)) * SOFT_CLIP
 
     # Angle-addition factorization n = 16a + b: the naive form evaluates a
@@ -425,21 +453,31 @@ def render_tone(tone_id, amplitude_id, swn, tone_phase):
     anchors = (jnp.arange(10, dtype=jnp.uint32) * 16 + 1)[:, None]  # nn @ b=0
     boff = jnp.arange(16, dtype=jnp.float32)[:, None]
 
-    def osc(phase0, step):
+    def osc_terms(phase0, step):
         pha = phase0[None, :] + step[None, :] * anchors   # [10,C] exact u32
         tha = pha.astype(jnp.float32) * rad - jnp.float32(np.pi / 2.0)
         sa, ca = jnp.sin(tha), jnp.cos(tha)               # [10, C]
         bs = step.astype(jnp.float32)[None, :] * rad * boff  # [16, C]
-        cb, sb = jnp.cos(bs), jnp.sin(bs)
-        s = sa[:, None, :] * cb[None, :, :] + ca[:, None, :] * sb[None, :, :]
-        return s.reshape(FRAME, step.shape[0])            # [160, C]
+        return sa, ca, jnp.cos(bs), jnp.sin(bs)
 
-    s1 = osc(swn, step1)
-    s2 = osc(tone_phase, step2)
-    samples = jnp.where(dual[None, :],
-                        0.5 * gain[None, :] * s1 + 0.5 * gain[None, :] * s2,
-                        gain[None, :] * s1)
-    samples = jnp.where(active[None, :], samples, 0.0)
+    # One combined outer-product expression instead of two materialized
+    # [160,C] oscillator buffers + two [160,C] where-merges: fold the
+    # dual/active selects into per-oscillator scalar gains (g2 == 0 kills
+    # osc 2 exactly; g1 == g2 == 0 mutes inactive lanes exactly — finite
+    # sin/cos, so 0*x + 0*y is an exact signed zero) and emit ONE fused
+    # [10,16,C] -> [160,C] store. Bit-identical to the two-buffer form:
+    # per element the f32 op order is unchanged (sa*cb + ca*sb, then
+    # g1*s1 + g2*s2 with g1 = 0.5*gain precomputed, the same left-assoc
+    # products), and lanes the old path where'd to 0.0 now compute +/-0.
+    # Measured 1.04x on ambe2400 hard C=32768 (tone render ~0.26 ms ->
+    # ~0.15 ms of pure HBM-traffic savings; see docs/PERFORMANCE.md).
+    sa1, ca1, cb1, sb1 = osc_terms(swn, step1)
+    sa2, ca2, cb2, sb2 = osc_terms(tone_phase, step2)
+    g1 = jnp.where(active, jnp.where(dual, 0.5 * gain, gain), 0.0)[None, None, :]
+    g2 = jnp.where(active & dual, 0.5 * gain, 0.0)[None, None, :]
+    s1 = sa1[:, None, :] * cb1[None, :, :] + ca1[:, None, :] * sb1[None, :, :]
+    s2 = sa2[:, None, :] * cb2[None, :, :] + ca2[:, None, :] * sb2[None, :, :]
+    samples = (g1 * s1 + g2 * s2).reshape(FRAME, tid.shape[0])
 
     # exact uint32 phase-accumulator state update (no [C,160] grid needed)
     n160 = jnp.uint32(FRAME)

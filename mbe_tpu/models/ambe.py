@@ -21,7 +21,7 @@ from ..tables import T
 from . import spectral
 from .speech import current_frame_rm0, synthesize_speech_core
 from .state import (MUTING_THRESHOLD_AMBE, Parms, ambe_default_parms_like,
-                    erasure_parms, select)
+                    erasure_parms, select, select_cases)
 from ..ops import synth as synth_ops
 
 _RCONST = np.float32(1.0 / (2.0 * np.sqrt(2.0)))
@@ -552,8 +552,8 @@ def process_ambe2450(ambe_d, total_errors, c0_errors, c0_valid,
     cur_z = dataclasses.replace(cur, repeatCount=jnp.zeros_like(cur.repeatCount))
     cur_era = erasure_parms(cur_z, prev)
     cur_rep = dataclasses.replace(prev, repeatCount=prev.repeatCount + 1)
-    cur = select(is_era, cur_era,
-                 select(is_tone, cur_z, select(rep, cur_rep, cur_z)))
+    cur = select_cases([(is_era, cur_era), (is_tone, cur_z),
+                        (rep, cur_rep)], cur_z)
 
     # -- synthesize_frame (ambe3600x2450.c:831-849) --------------------------
     voice = bad == 0
@@ -595,15 +595,13 @@ def process_ambe2450(ambe_d, total_errors, c0_errors, c0_valid,
     reinit = voice_mute | tone_cn
 
     cur_tone = dataclasses.replace(cur, swn=swn2, tonePhase=tp2)
-    cur = select(voice_ok, synth_out,
-                 select(tone_play, cur_tone,
-                        select(reinit, defaults, cur)))
-    prev = select(voice_ok, prev_raw,
-                  select(is_era, cur,  # erasure: prev <- cur (erasure model)
-                         select(reinit, defaults, prev)))
-    enh = select(voice_ok | tone_replay, synth_out,
-                 select(is_era, cur,
-                        select(reinit, defaults, enh)))
+    cur = select_cases([(voice_ok, synth_out), (tone_play, cur_tone),
+                        (reinit, defaults)], cur)
+    prev = select_cases([(voice_ok, prev_raw),
+                         (is_era, cur),  # erasure: prev <- cur
+                         (reinit, defaults)], prev)
+    enh = select_cases([(voice_ok | tone_replay, synth_out),
+                        (is_era, cur), (reinit, defaults)], enh)
 
     flags = dict(erasure=is_era, tone=is_tone, repeat=rep,
                  mute=voice_mute)
@@ -627,9 +625,8 @@ def process_ambe2400(ambe_d, total_errors, c0_errors, c0_valid,
     rep = ~passthru & (total_errors > 3)
     cur_z = dataclasses.replace(cur, repeatCount=jnp.zeros_like(cur.repeatCount))
     cur_rep = dataclasses.replace(prev, repeatCount=prev.repeatCount + 1)
-    cur = select(is_tone3, cur_z,
-                 select(dstar_tone, cur,
-                        select(rep, cur_rep, cur_z)))
+    cur = select_cases([(is_tone3, cur_z), (dstar_tone, cur),
+                        (rep, cur_rep)], cur_z)
 
     # -- synthesize_frame (ambe3600x2400.c:711-730) ---------------------------
     voice = bad == 0
@@ -661,14 +658,12 @@ def process_ambe2400(ambe_d, total_errors, c0_errors, c0_valid,
 
     defaults = ambe_default_parms_like(cur)
     cur_tone = dataclasses.replace(cur, swn=swn2, tonePhase=tp2)
-    cur = select(voice_ok, synth_out,
-                 select(dstar_tone, cur_tone,
-                        select(cn_lanes, defaults, cur)))
-    prev = select(voice_ok, prev_raw,
-                  select(dstar_tone, cur,  # prev <- cur after tone
-                         select(cn_lanes, defaults, prev)))
-    enh = select(voice_ok, synth_out,
-                 select(cn_lanes, defaults, enh))
+    cur = select_cases([(voice_ok, synth_out), (dstar_tone, cur_tone),
+                        (cn_lanes, defaults)], cur)
+    prev = select_cases([(voice_ok, prev_raw),
+                         (dstar_tone, cur),  # prev <- cur after tone
+                         (cn_lanes, defaults)], prev)
+    enh = select_cases([(voice_ok, synth_out), (cn_lanes, defaults)], enh)
 
     flags = dict(erasure=jnp.zeros_like(voice), tone=is_tone3, repeat=rep,
                  mute=voice_mute)

@@ -22,7 +22,7 @@ from . import spectral
 from .state import Parms, MUTING_THRESHOLD_IMBE
 from .speech import synthesize_speech_core
 from ..ops.enhance import spectral_amp_enhance
-from .state import imbe_headroom_reset, select
+from .state import imbe_headroom_reset, select_cases
 
 _B0_IDX = np.array([0, 1, 2, 3, 4, 5, 85, 86], np.int32)
 _POW2_23 = np.array([1 << i for i in range(23)], np.int32)
@@ -763,7 +763,7 @@ def process_imbe4400(imbe_d, total_errors, c0_errors, c0_valid, c4_errors,
     cur_reset = imbe_headroom_reset(cur)
     cur_rep = dataclasses.replace(
         prev, repeatCount=prev.repeatCount + 1)  # useLast + repeatCount++
-    cur = select(headroom, cur_reset, select(use_last, cur_rep, cur))
+    cur = select_cases([(headroom, cur_reset), (use_last, cur_rep)], cur)
     cur = dataclasses.replace(
         cur, repeatCount=jnp.where(rep, cur.repeatCount, 0))
 

@@ -202,6 +202,58 @@ def select_tree(mask, a, b):
     return jax.tree.map(sel, a, b)
 
 
+def select_cases(cases, default):
+    """First-match-wins lane select over matching pytrees.
+
+    select_cases([(m1, t1), (m2, t2)], d) computes, per lane, t1 where m1,
+    else t2 where m2, else d — bit-identical to the nested form
+    select(m1, t1, select(m2, t2, d)) — but built LEAF-wise with the masks
+    made disjoint first, so that:
+
+    - a case whose leaf IS the default's leaf (same array object — the
+      dataclasses.replace sharing pattern every FSM branch uses) costs
+      nothing: where(m, x, x) == x is dropped before tracing, not left
+      for XLA to maybe-simplify;
+    - cases reading the same source leaf merge into ONE where() with
+      OR'd (disjoint) masks.
+
+    The FSM state commits are 3-deep chains of mostly-shared copies over
+    the whole [*, C] Parms triplet, which made select_select fusions
+    ~0.9 ms/step of the ambe2400 xprof budget at C=32768; the leaf-wise
+    rebuild removes most of that traffic (see docs/PERFORMANCE.md).
+    Dropping/merging is exact even for NaN/Inf lanes (no arithmetic, only
+    selects on identical values); the disjoint rewrite preserves the
+    nested form's shadowing (an earlier case wins every lane it covers).
+    """
+    taken = None
+    disjoint = []
+    for m, t in cases:
+        eff = m if taken is None else (m & ~taken)
+        taken = m if taken is None else (taken | m)
+        disjoint.append((eff, t))
+    leaves_d, treedef = jax.tree.flatten(default)
+    case_leaves = [(eff, jax.tree.flatten(t)[0]) for eff, t in disjoint]
+    out = []
+    for i, dl in enumerate(leaves_d):
+        by_src = []  # [(mask, src)] with distinct src objects
+        for eff, lv in case_leaves:
+            src = lv[i]
+            if src is dl:
+                continue
+            for j, (m0, s0) in enumerate(by_src):
+                if s0 is src:
+                    by_src[j] = (m0 | eff, s0)
+                    break
+            else:
+                by_src.append((eff, src))
+        expr = dl
+        for m, src in by_src:
+            mm = m.reshape((1,) * (src.ndim - m.ndim) + m.shape)
+            expr = jnp.where(mm, src, expr)
+        out.append(expr)
+    return jax.tree.unflatten(treedef, out)
+
+
 def erasure_parms(mp: Parms, continuity: Parms) -> Parms:
     """mbe_setAmbeErasureParms_common (ambe_common.c:231-260): W120 model
     with phase/noise continuity taken from `continuity`; error/repeat/muting

@@ -305,3 +305,33 @@ def test_c4_context_drives_error_count4():
               state.lcg_prime)
     cur2 = out[1]
     np.testing.assert_array_equal(np.asarray(cur2.errorCount4), [3, 0])
+
+
+def test_select_cases_matches_nested_select():
+    """select_cases must be bit-identical to the nested first-match-wins
+    select chain it replaced (models/state.py), including overlapping
+    masks (earlier case shadows later), shared-leaf branches (the
+    dataclasses.replace pattern), and NaN/Inf payloads."""
+    rng = np.random.default_rng(5)
+    C = 64
+    mk = lambda: rng.standard_normal((3, C)).astype(np.float32)  # noqa: E731
+    base = {"a": jnp.asarray(mk()), "b": jnp.asarray(mk()),
+            "s": jnp.asarray(rng.integers(0, 9, C).astype(np.int32))}
+    nan_leaf = mk()
+    nan_leaf[0, ::3] = np.nan
+    nan_leaf[1, ::5] = np.inf
+    t1 = {**base, "a": jnp.asarray(nan_leaf)}          # shares b, s
+    t2 = {**base, "s": base["s"] + 1}                  # shares a, b
+    t3 = {"a": jnp.asarray(mk()), "b": jnp.asarray(mk()),
+          "s": jnp.asarray(rng.integers(0, 9, C).astype(np.int32))}
+    m1 = jnp.asarray(rng.integers(0, 2, C).astype(bool))
+    m2 = jnp.asarray(rng.integers(0, 2, C).astype(bool))  # overlaps m1
+    m3 = jnp.asarray(rng.integers(0, 2, C).astype(bool))
+
+    got = jax.jit(lambda: st.select_cases(
+        [(m1, t1), (m2, t2), (m3, t3)], base))()
+    want = jax.jit(lambda: st.select_tree(
+        m1, t1, st.select_tree(m2, t2, st.select_tree(m3, t3, base))))()
+    for k in base:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]))

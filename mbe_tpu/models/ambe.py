@@ -8,6 +8,7 @@ RNG advances exactly once per frame on lanes that emitted comfort noise.
 """
 
 import dataclasses
+import os
 from functools import lru_cache
 
 import jax
@@ -182,17 +183,28 @@ def _vuv_band_js(plus: bool):
 
 
 def _vuv_select(vrow, jl, plus: bool):
-    """v_tab[l, c] = vrow[jl[l, c], c] via per-band sparse selects.
-    vrow [8, C] f32, jl [57, C] i32 -> [57, C] i32."""
+    """v_tab[l, c] = vrow[jl[l, c], c] via full-width dense selects.
+    vrow [8, C] f32, jl [57, C] i32 -> [57, C] i32.
+
+    jl is clipped to 0..7, so each lane matches exactly one t: 8 selects
+    over the whole [57, C] block. The round-3 sparse per-band chain (245
+    pairs) ran on [1, C] rows at 1/8 sublane occupancy — strictly more
+    vreg work despite fewer element-ops (round-4 xprof finding); this is
+    bitwise identical (the dense form covers every candidate t and more)."""
     cands = _vuv_band_js(plus)
     c = vrow.shape[-1]
-    rows = []
-    for l in range(57):
-        row = jnp.zeros((1, c), jnp.float32)
-        for t in cands[l]:
-            row = jnp.where(jl[l:l + 1, :] == t, vrow[t:t + 1, :], row)
-        rows.append(row)
-    return jnp.concatenate(rows, axis=0).astype(jnp.int32)
+    if os.environ.get("MBE_TPU_BAND_SELECT", "dense") == "pairs":
+        rows = []
+        for l in range(57):
+            row = jnp.zeros((1, c), jnp.float32)
+            for t in cands[l]:
+                row = jnp.where(jl[l:l + 1, :] == t, vrow[t:t + 1, :], row)
+            rows.append(row)
+        return jnp.concatenate(rows, axis=0).astype(jnp.int32)
+    out = jnp.zeros((57, c), jnp.float32)
+    for t in range(8):
+        out = jnp.where(jl == t, vrow[t:t + 1, :], out)
+    return out.astype(jnp.int32)
 
 
 @lru_cache(maxsize=2)
@@ -264,16 +276,35 @@ def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
         usel = usel + jnp.where(jsel[:, None, :] == jnp.float32(ji), sl, 0.0)
     slots = usel.reshape(68, c)
     sclsel = _onehot_rows(Ls, scl_tab)  # [57, C]
-    # per-band sparse slot select (622 pairs vs the dense 68x57 = 3876;
-    # exclusive selects, default 0 where scl == -1 — bitwise identical)
-    rows = [jnp.zeros((1, c), jnp.float32)]  # band 0: scl always -1
-    for l in range(1, 57):
-        row = jnp.zeros((1, c), jnp.float32)
-        for s in band_slots[l]:
-            row = jnp.where(sclsel[l:l + 1, :] == jnp.float32(s),
-                            slots[s:s + 1, :], row)
-        rows.append(row)
-    return jnp.concatenate(rows, axis=0)
+    if os.environ.get("MBE_TPU_BAND_SELECT", "dense") == "pairs":
+        # per-band sparse slot select (622 pairs vs the dense 68x57 = 3876;
+        # exclusive selects, default 0 where scl == -1 — bitwise identical)
+        rows = [jnp.zeros((1, c), jnp.float32)]  # band 0: scl always -1
+        for l in range(1, 57):
+            row = jnp.zeros((1, c), jnp.float32)
+            for s in band_slots[l]:
+                row = jnp.where(sclsel[l:l + 1, :] == jnp.float32(s),
+                                slots[s:s + 1, :], row)
+            rows.append(row)
+        return jnp.concatenate(rows, axis=0)
+    # 8-row block-union select: the 622-pair sparse chain runs on [1, C]
+    # rows at 1/8 sublane occupancy (round-4 xprof finding). Grouping bands
+    # into 8-row blocks and selecting over the UNION of the block's
+    # candidate slots needs only 15+23+24+22+19+14+9+1 = 127 full-density
+    # [8, C] selects. Selects are exclusive (each lane's scl value matches
+    # at most one s; scl == -1 matches none and keeps the 0 default), so
+    # the result is bitwise identical to the sparse chain.
+    blocks = []
+    for b in range(0, 57, 8):
+        hi = min(b + 8, 57)
+        union = sorted(set().union(*[set(band_slots[l])
+                                     for l in range(b, hi)]))
+        blk = jnp.zeros((hi - b, c), jnp.float32)
+        for s in union:
+            blk = jnp.where(sclsel[b:hi, :] == jnp.float32(s),
+                            slots[s:s + 1, :], blk)
+        blocks.append(blk)
+    return jnp.concatenate(blocks, axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -325,15 +325,28 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms):
     li = jnp.arange(57, dtype=jnp.int32)[:, None]
     tl_idx = jnp.clip(K[None, :] - 1 - (li - 1) // 3, 0, 11)
     bb1 = vals[:12]
-    # sparse per-band select: band l can only read the few t values K's
-    # 10 possible settings produce (245 pairs vs the dense 12x57)
-    vl_rows = [jnp.zeros((1, c), jnp.float32)]  # band 0 unused
-    for l in range(1, 57):
-        row = jnp.zeros((1, c), jnp.float32)
-        for t in tb["band_ts"][l]:
-            row = jnp.where(tl_idx[l:l + 1, :] == t, bb1[t:t + 1, :], row)
-        vl_rows.append(row)
-    vl_f = jnp.concatenate(vl_rows, axis=0)
+    if os.environ.get("MBE_TPU_BAND_SELECT", "dense") == "pairs":
+        # sparse per-band select: band l can only read the few t values K's
+        # 10 possible settings produce (245 pairs vs the dense 12x57)
+        vl_rows = [jnp.zeros((1, c), jnp.float32)]  # band 0 unused
+        for l in range(1, 57):
+            row = jnp.zeros((1, c), jnp.float32)
+            for t in tb["band_ts"][l]:
+                row = jnp.where(tl_idx[l:l + 1, :] == t, bb1[t:t + 1, :], row)
+            vl_rows.append(row)
+        vl_f = jnp.concatenate(vl_rows, axis=0)
+    else:
+        # dense-by-t: 12 full-width [57, C] selects. The 245-pair sparse
+        # chain runs on [1, C] rows at 1/8 sublane occupancy (measured
+        # 0.165 ms/step at C=32768 in the round-4 xprof); 12 selects over
+        # the whole [57, C] block do strictly more element-ops but at full
+        # vreg density. Every lane matches exactly one t (tl_idx is
+        # clipped to 0..11), so this is bitwise identical on rows >= 1;
+        # row 0 picks up bb1[clip(K, 0, 11)] instead of 0, and is
+        # discarded by band_mask below (sole consumer).
+        vl_f = jnp.zeros((57, c), jnp.float32)
+        for t in range(12):
+            vl_f = jnp.where(tl_idx == t, bb1[t:t + 1, :], vl_f)
     vl_bits = vl_f.astype(jnp.int32)  # [57, C]
     band_mask = (li >= 1) & (li <= L[None, :])
     Vl = jnp.where(band_mask, vl_bits, cur.Vl)

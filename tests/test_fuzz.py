@@ -191,3 +191,62 @@ def test_jitted_soft_path_total_on_garbage_reliabilities():
     assert np.isfinite(np.asarray(pcm)).all()
     total = np.asarray(res["total_errors"])
     assert (total >= 0).all() and (total <= 184).all()
+
+
+# --- opt-in continuous fuzz loop (ClusterFuzzLite analog) -------------------
+# The reference runs libFuzzer continuously on PRs (.clusterfuzzlite/,
+# fuzz_process_frame.cc:28-66). The fixed-seed tests above are the
+# regression tier; this loop is the coverage tier: MBE_TPU_FUZZ_SEEDS=N
+# re-runs the kernel-totality invariants over N fresh random seeds with
+# randomized codec / batch size / bit distribution per iteration. One jit
+# per (codec, C) pair is reused across seeds, so N=50 costs seconds, not
+# compiles. CI's fuzz job sets N=50.
+
+import os as _os
+
+_FUZZ_N = int(_os.environ.get("MBE_TPU_FUZZ_SEEDS", "0"))
+
+
+@pytest.mark.skipif(_FUZZ_N <= 0,
+                    reason="opt-in: set MBE_TPU_FUZZ_SEEDS=<n>")
+def test_fuzz_loop_random_seeds():
+    meta_rng = np.random.default_rng()  # OS entropy — a different run each time
+    seeds = meta_rng.integers(0, 2**63, _FUZZ_N)
+    runs = {}
+    batches = (1, 8)  # two sizes keep the distinct-jit count CI-friendly
+    for i, s in enumerate(seeds):
+        rng = np.random.default_rng(s)
+        codec = ("imbe7200", "imbe7100", "ambe2450",
+                 "ambe2400")[int(rng.integers(4))]
+        C = batches[int(rng.integers(len(batches)))]
+        rows, cols = pipeline.FRAME_SHAPES[codec]
+        T = 6
+        # mix plain bits, raw bytes, and biased-toward-valid frames
+        mode = int(rng.integers(3))
+        if mode == 0:
+            frames = rng.integers(0, 2, (T, C, rows, cols)).astype(np.int32)
+        elif mode == 1:
+            frames = _raw_array(rng, (T, C, rows, cols))
+        else:
+            frames = rng.choice(
+                np.array([0, 1, 1, 1, 0, 0, 2], np.int32),
+                size=(T, C, rows, cols)).astype(np.int32)
+        key = (codec, C)
+        if key not in runs:
+            runs[key] = jax.jit(
+                lambda fr, s, _c=codec: pipeline.run_sequence(_c, fr, s))
+        state = st.init_state(
+            C, rng_seed=rng.integers(0, 2**32, C).astype(np.uint32))
+        state, pcm, res = runs[key](jnp.asarray(frames), state)
+        pcm = np.asarray(pcm)
+        ctx = f"seed={s} codec={codec} C={C} mode={mode} (iter {i})"
+        assert np.isfinite(pcm).all(), ctx
+        assert np.abs(pcm).max() <= np.float32((32767.0 * 0.95) / 7.0) + 1e-3, ctx
+        total = np.asarray(res["total_errors"])
+        assert (total >= 0).all() and (total <= 184).all(), ctx
+        status = np.asarray(res["status"])
+        assert np.isin(status, (0, -2)).all(), ctx
+        assert np.isfinite(np.asarray(state.cur.Ml)).all(), ctx
+        assert np.isfinite(np.asarray(state.cur.errorRate)).all(), ctx
+        assert ((np.asarray(state.cur.L) >= 1)
+                & (np.asarray(state.cur.L) <= 56)).all(), ctx

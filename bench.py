@@ -53,14 +53,30 @@ from mbe_tpu.models import state as st  # noqa: E402
 BASELINE_FRAMES_PER_SEC = 39290.0  # reference bench_synth, 1 CPU core
 
 
-def bench(codec="imbe7200", channels=8192, steps=50, reps=3, soft=False,
-          unroll=4):
+def _force(out):
+    """Fetch one element of the result pytree — the only reliable
+    completion gate over this TPU tunnel (block_until_ready can return
+    before execution finishes; mbe_tpu/utils/profiling.py docstring)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+
+
+def bench(codec="imbe7200", channels=8192, steps=48, reps=3, soft=False,
+          unroll=4, short_steps=8):
     """Returns (best_fps, median_fps, compile_plus_first_run_seconds).
 
-    best and median are over `reps` in-process repeats; the spread is
-    emitted in the JSON so round-over-round driver deltas can be judged
-    against the documented ±25% tunnel run-to-run variance
-    (docs/PERFORMANCE.md "variance" note) instead of read as real."""
+    Round-5 protocol: per-step time is the SLOPE between a short
+    (`short_steps`) and a long (`steps`) device-side scan, each gated by a
+    real host readback. The slope cancels the per-dispatch constant
+    (~25-30 ms of tunnel/dispatch/readback on this environment) that the
+    previous single-length protocol smeared over the scan — round-4's
+    "3.2 ms/step" flagship was 2.57 ms device + amortized constant. The
+    protocol was validated against a known-FLOP 4K matmul (0.72 ms vs
+    ~0.7 ms bf16 peak) and the xprof device-op sum of this exact step
+    (2.59 ms) — see mbe_tpu/utils/profiling.py. best/median are over
+    `reps` interleaved repeats at each length; spreads are emitted so
+    driver deltas can be judged against the documented ±25% tunnel
+    variance rather than read as real."""
     rows, cols = pipeline.FRAME_SHAPES[codec]
     rng = np.random.default_rng(0)
     frame = jax.device_put(
@@ -77,34 +93,43 @@ def bench(codec="imbe7200", channels=8192, steps=50, reps=3, soft=False,
     # intermediate decoder state in VMEM instead of round-tripping the
     # full HBM carry every frame — measured 1.10x at unroll=4
     # (tools/t_unroll2.py; parity contract in docs/PERFORMANCE.md).
-    run = jax.jit(lambda s0: jax.lax.scan(
-        body, (s0, jnp.float32(0)), None, length=steps, unroll=unroll)[0])
+    def mk(n):
+        return jax.jit(lambda s0: jax.lax.scan(
+            body, (s0, jnp.float32(0)), None, length=n, unroll=unroll)[0])
+
+    run_s, run_l = mk(short_steps), mk(steps)
 
     def init():
         # IMBE streams drop the redundant enh carry (state.py docstring)
         return st.init_state(channels, carry_enh=not codec.startswith("imbe"))
 
     t0 = time.time()
-    out = run(init())
-    jax.block_until_ready(out)
+    _force(run_l(init()))
     compile_s = time.time() - t0
+    _force(run_s(init()))
     print(f"# {codec}{' soft' if soft else ''}: compile+first run "
           f"{compile_s:.1f}s (devices={jax.devices()})", file=sys.stderr)
 
-    times = []
+    t_short, t_long = [], []
     for _ in range(reps):
         s0 = init()
         jax.block_until_ready(s0)
         t0 = time.time()
-        out = run(s0)
-        jax.block_until_ready(out)
-        times.append((time.time() - t0) / steps)
+        _force(run_s(s0))
+        t_short.append(time.time() - t0)
+        t0 = time.time()
+        _force(run_l(s0))
+        t_long.append(time.time() - t0)
 
-    best = min(times)
-    med = float(np.median(times))
+    dn = steps - short_steps
+    best = max(min(t_long) - min(t_short), 1e-9) / dn
+    med = max(float(np.median(t_long)) - float(np.median(t_short)),
+              1e-9) / dn
+    const_ms = (min(t_short) - short_steps * best) * 1e3
     fps = channels / best
-    print(f"# {codec}{' soft' if soft else ''}: C={channels} steps={steps} "
-          f"best={best * 1e3:.2f} ms/step (median {med * 1e3:.2f}) -> "
+    print(f"# {codec}{' soft' if soft else ''}: C={channels} "
+          f"slope({short_steps},{steps}) best={best * 1e3:.2f} ms/step "
+          f"(median {med * 1e3:.2f}, dispatch-const ~{const_ms:.0f} ms) -> "
           f"{fps:,.0f} frames/s ({fps / 50:,.0f}x realtime)",
           file=sys.stderr)
     return fps, channels / med, compile_s
@@ -177,7 +202,14 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 2),
         "compile_s": round(compile_s, 1),
-        "variance_note": ("best/median over %d in-process reps; "
+        "variance_note": ("slope protocol (round 5): ms/step = slope "
+                          "between short/long readback-gated scans, "
+                          "cancelling the ~25-30 ms per-dispatch tunnel "
+                          "constant the r1-r4 single-length protocol "
+                          "amortized into its numbers (r4's 3.2 ms/step "
+                          "was 2.57 ms device time; validated vs xprof "
+                          "device-op sum and a known-FLOP matmul). "
+                          "best/median over %d in-process reps; "
                           "cross-process TPU tunnel variance is +/-25%% "
                           "(docs/PERFORMANCE.md) -- judge deltas against "
                           "the median spread, not single best values"

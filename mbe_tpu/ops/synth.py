@@ -153,6 +153,27 @@ def count_unvoiced(Vl, L):
     return jnp.sum(jnp.where(m & (Vl == 0), 1, 0), axis=0)
 
 
+def fmodf_2pi(x):
+    """Exact fmodf(x, 2pi_f32) for 0 <= x < 2^13 — bit-identical to libm.
+
+    The PSIl accumulator is wrapped with fmodf every frame
+    (mbelib.c:936-940); fmodf is an EXACT operation (the remainder is
+    always representable), while jnp.mod lowers to x - floor(x/y)*y whose
+    divide/multiply each round — a few-ULP wrap error per frame that
+    compounded through the PSIl chain into the audit's 62.6 dB worst-case
+    frame (long_imbe7200 t=185: substituting the reference PSIl alone
+    recovered 83 dB — tools/t_snr185.py, round 5). Long-division ladder:
+    conditionally subtract y*2^k for k = 10..0. Every subtraction is
+    Sterbenz-exact (y*2^k <= x < y*2^(k+1) at the time it fires), and
+    y*2^k is an exact power-of-two scaling, so the result equals libm
+    fmodf bit-for-bit (pinned vs np.fmod in test_synth.py).
+    """
+    for k in range(10, -1, -1):
+        m = np.float32(TWO_PI * (1 << k))
+        x = jnp.where(x >= m, x - m, x)
+    return x
+
+
 def update_phases(cur_w0, cur_L, cur_PSIl_old, cur_PHIl_old,
                   prev_w0, prev_PSIl, noise_buffer, num_uv):
     """mbe_update_speech_phases (mbelib.c:931-951) for l = 1..56.
@@ -162,7 +183,7 @@ def update_phases(cur_w0, cur_L, cur_PSIl_old, cur_PHIl_old,
     noise_buffer: [256, C] f32 LCG samples (phase jitter uses entries 1..56).
     """
     li = jnp.asarray(_L_IDX_F)[:, None]
-    psi_wrapped = jnp.mod(prev_PSIl, TWO_PI)
+    psi_wrapped = fmodf_2pi(jnp.abs(prev_PSIl)) * jnp.sign(prev_PSIl)
     psi_wrapped = jnp.where(psi_wrapped < 0.0, psi_wrapped + TWO_PI, psi_wrapped)
 
     lN = li * jnp.float32(FRAME)

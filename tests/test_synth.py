@@ -72,3 +72,22 @@ def test_wola_weights_cover_frame():
     """WOLA denominators are strictly positive over all 160 samples."""
     synth._lazy_tables()
     assert (synth._W_DENOM > 1e-10).all()
+
+
+def test_fmodf_2pi_exact_vs_libm():
+    """The PSIl wrap must equal libm fmodf bit-for-bit (np.fmod IS the
+    C fmod): the Sterbenz conditional-subtraction ladder is exact, while
+    the jnp.mod it replaced rounded twice per wrap and drifted the PSIl
+    chain to the audit's 62.6 dB worst case (tools/t_snr185.py, round 5)."""
+    rng = np.random.default_rng(42)
+    # full PSIl dynamic range: wrapped value + (pw0+cw0)*l*80 < 2^12
+    x = np.concatenate([
+        rng.uniform(0.0, 4096.0, 20000).astype(np.float32),
+        np.float32(2 * np.pi) * np.arange(660, dtype=np.float32),  # boundaries
+        np.nextafter(np.float32(2 * np.pi) * np.arange(1, 660, dtype=np.float32),
+                     np.float32(0.0)),
+        np.array([0.0, 1e-30, 6.2831855, 6.2831850], np.float32),
+    ])
+    got = np.asarray(jax.jit(synth.fmodf_2pi)(jnp.asarray(x)))
+    want = np.fmod(x, np.float32(2 * np.pi))
+    np.testing.assert_array_equal(got, want)

@@ -57,18 +57,53 @@ def build(codec: str, channels: int, steps: int = 50, unroll: int = 1):
         unroll=unroll)[0]), steps
 
 
+def _force(out):
+    """Fetch the scan's accumulator scalar to the host. block_until_ready
+    is NOT a reliable completion gate over this TPU tunnel (measured
+    2026-08-20: a matmul scan 'completed' 200x past MXU peak, then the
+    readback stalled 972 ms) — only a data-dependent host fetch provably
+    waits. See mbe_tpu/utils/profiling.py for the full protocol note."""
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+
+
 def measure(fn, channels: int, steps: int, reps: int = 3, codec="imbe7200"):
+    """ms/step of one fixed-length fn, readback-forced. NOTE: includes the
+    per-dispatch constant (~25-30 ms) amortized over `steps` — fine for
+    A/B RATIOS (both sides carry the same constant, which only DAMPENS
+    the ratio), not for absolute numbers. Use measure_slope for those."""
     out = fn(init_for(codec, channels))
-    jax.block_until_ready(out)
+    _force(out)
     best = np.inf
     for _ in range(reps):
         s0 = init_for(codec, channels)
         jax.block_until_ready(s0)
         t0 = time.time()
         out = fn(s0)
-        jax.block_until_ready(out)
+        _force(out)
         best = min(best, (time.time() - t0) / steps)
     return best
+
+
+def measure_slope(fn_short, n_short, fn_long, n_long, channels: int,
+                  reps: int = 3, codec="imbe7200"):
+    """Honest seconds/step: slope between two scan lengths. Cancels the
+    per-dispatch constant (validated vs a known-FLOP matmul and the xprof
+    device-op sum; mbe_tpu/utils/profiling.py docstring)."""
+    s0 = init_for(codec, channels)
+    _force(fn_short(s0))
+    _force(fn_long(s0))
+    t1 = t2 = np.inf
+    for _ in range(reps):
+        s0 = init_for(codec, channels)
+        jax.block_until_ready(s0)
+        t0 = time.time()
+        _force(fn_short(s0))
+        t1 = min(t1, time.time() - t0)
+        t0 = time.time()
+        _force(fn_long(s0))
+        t2 = min(t2, time.time() - t0)
+    return max(t2 - t1, 0.0) / (n_long - n_short)
 
 
 def ab(fn_a, fn_b, channels: int, steps: int, rounds: int = 3,
@@ -89,7 +124,8 @@ if __name__ == "__main__":
     codec = sys.argv[1] if len(sys.argv) > 1 else "imbe7200"
     channels = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    fn, steps = build(codec, channels)
-    dt = measure(fn, channels, steps, reps, codec=codec)
-    print(f"{codec} C={channels}: {dt * 1e3:.3f} ms/step -> "
+    fn_s, n_s = build(codec, channels, steps=8)
+    fn_l, n_l = build(codec, channels, steps=48)
+    dt = measure_slope(fn_s, n_s, fn_l, n_l, channels, reps, codec=codec)
+    print(f"{codec} C={channels}: {dt * 1e3:.3f} ms/step (slope) -> "
           f"{channels / dt:,.0f} frames/s ({channels / dt / 50:,.0f}x rt)")

@@ -47,14 +47,24 @@ def build(codec, channels, steps, soft=False):
         body, (s0, jnp.float32(0)), None, length=steps)[0])
 
 
+def _force(out):
+    """Real completion gate: block_until_ready is unreliable over this
+    tunnel (profiling.py docstring). Ablation DELTAS were always valid
+    (the ~28 ms dispatch constant cancels in full-minus-ablated), but the
+    absolute base ms/step carries const/steps — quote slope-based numbers
+    (bench.py) for absolutes."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+
+
 def measure(fn, channels, steps, reps=3):
-    jax.block_until_ready(fn(st.init_state(channels)))
+    _force(fn(st.init_state(channels)))
     best = np.inf
     for _ in range(reps):
         s0 = st.init_state(channels)
         jax.block_until_ready(s0)
         t0 = time.time()
-        jax.block_until_ready(fn(s0))
+        _force(fn(s0))
         best = min(best, (time.time() - t0) / steps)
     return best
 

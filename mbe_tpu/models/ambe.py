@@ -268,16 +268,45 @@ def _tl_from_codes(L, Gm, b5, b6, b7, b8, plus: bool):
     c = cik.shape[-1]
     M, off, jsel_tab, scl_tab, band_slots = _tl_factored(plus)
     Ls = jnp.clip(L, 0, 56)
-    # U[i, m, c] = sum_k cik[i, k, c] * M[k, m] — einsum in true matmul
-    # form (no materialized one-hot operands)
-    U = jnp.einsum("ikc,km->imc", cik, jnp.asarray(M), precision=hp,
-                   preferred_element_type=jnp.float32)  # [4, 153, C]
     jsel = _onehot_rows(Ls, jsel_tab)  # [4, C] actual block sizes
-    usel = jnp.zeros((4, 17, c), jnp.float32)
-    for ji in range(1, 18):
-        sl = jnp.pad(U[:, int(off[ji]):int(off[ji]) + ji, :],
-                     ((0, 0), (0, 17 - ji), (0, 0)))
-        usel = usel + jnp.where(jsel[:, None, :] == jnp.float32(ji), sl, 0.0)
+    if os.environ.get("MBE_TPU_AMBE_TL", "gather") == "dense":
+        # round-2 form: evaluate ALL 17 block sizes, then select. The
+        # [4, 153, C] U tensor is 80 MB of HBM at C=32768 and the select
+        # loop streams it again (xprof round 5: 0.42 ms/step combined).
+        # U[i, m, c] = sum_k cik[i, k, c] * M[k, m]
+        U = jnp.einsum("ikc,km->imc", cik, jnp.asarray(M), precision=hp,
+                       preferred_element_type=jnp.float32)  # [4, 153, C]
+        usel = jnp.zeros((4, 17, c), jnp.float32)
+        for ji in range(1, 18):
+            sl = jnp.pad(U[:, int(off[ji]):int(off[ji]) + ji, :],
+                         ((0, 0), (0, 17 - ji), (0, 0)))
+            usel = usel + jnp.where(jsel[:, None, :] == jnp.float32(ji),
+                                    sl, 0.0)
+    else:
+        # round 5: gather each block's padded [6, 17] IDCT matrix by its
+        # actual size (one-hot MXU matmul per block index — exact: one 1.0
+        # per column), then accumulate ascending k exactly like the
+        # reference's inner loop (ambe3600x2450.c:365-387). Only the
+        # selected block's columns are ever computed, so the all-sizes U
+        # tensor and its 17-pass select loop disappear. jsel == 0 (L == 0
+        # lanes) gives an all-zero one-hot -> exact-zero rows, matching
+        # the dense form's never-matching select.
+        Mpad = np.zeros((17, 6, 17), np.float32)
+        for v in range(1, 18):
+            Mpad[v - 1, :, :v] = M[:, int(off[v]):int(off[v]) + v]
+        MpadT = jnp.asarray(Mpad.reshape(17, 102).T)  # [102, 17]
+        vvals = jnp.arange(1, 18, dtype=jnp.float32)[:, None]
+        rows = []
+        for i in range(4):
+            oh = (jsel[i][None, :] == vvals).astype(jnp.float32)  # [17, C]
+            Mi = jnp.matmul(MpadT, oh, precision=hp,
+                            preferred_element_type=jnp.float32)
+            Mi = Mi.reshape(6, 17, c)
+            acc = cik[i, 0][None, :] * Mi[0]
+            for k in range(1, 6):
+                acc = acc + cik[i, k][None, :] * Mi[k]
+            rows.append(acc)
+        usel = jnp.stack(rows, axis=0)  # [4, 17, C]
     slots = usel.reshape(68, c)
     sclsel = _onehot_rows(Ls, scl_tab)  # [57, C]
     if os.environ.get("MBE_TPU_BAND_SELECT", "dense") == "pairs":

@@ -484,12 +484,26 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms, words=None):
     lof = lo.astype(jnp.float32)[None, :]  # [1, C]
     nlo = (6 - (L - 6 * lo))[None, :]      # first nlo blocks have size lo
     ehi = jnp.arange(6, dtype=jnp.int32)[:, None] >= nlo  # [6, C]
-    Mlo = jnp.zeros((100, c), jnp.float32)
-    Mhi = jnp.zeros((100, c), jnp.float32)
-    for v in range(1, 10):
-        mv = lof == jnp.float32(v)
-        Mlo = jnp.where(mv, jnp.asarray(M100[v])[:, None], Mlo)
-        Mhi = jnp.where(mv, jnp.asarray(M100[v + 1])[:, None], Mhi)
+    if os.environ.get("MBE_TPU_IMBE_MIDCT", "matmul") == "where":
+        # round-3 form: 9x2 where passes over [100, C]
+        Mlo = jnp.zeros((100, c), jnp.float32)
+        Mhi = jnp.zeros((100, c), jnp.float32)
+        for v in range(1, 10):
+            mv = lof == jnp.float32(v)
+            Mlo = jnp.where(mv, jnp.asarray(M100[v])[:, None], Mlo)
+            Mhi = jnp.where(mv, jnp.asarray(M100[v + 1])[:, None], Mhi)
+    else:
+        # round 5: the per-channel row gather M100[v(c)] as one-hot MXU
+        # matmuls — exact (one 1.0 per column, other products are 0*x,
+        # and x + 0 == x in f32), and it retires 18 [100, C] VPU select
+        # passes. v outside [1, 9] (erasure lanes) gives all-zero columns,
+        # matching the where-chain's zeros.
+        onehot_v = (jnp.arange(1, 10, dtype=jnp.float32)[:, None]
+                    == lof).astype(jnp.float32)  # [9, C]
+        Mlo = jnp.matmul(jnp.asarray(M100[1:10]).T, onehot_v, precision=hp,
+                         preferred_element_type=jnp.float32)  # [100, C]
+        Mhi = jnp.matmul(jnp.asarray(M100[2:11]).T, onehot_v, precision=hp,
+                         preferred_element_type=jnp.float32)
     ehx = ehi[:, None, :]  # [6, 1, C]
     Usel = jnp.zeros((6, 10, c), jnp.float32)
     for k in range(10):

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""A/B: AMBE per-block IDCT — size-gathered matrices vs all-sizes U tensor.
+
+A = HEAD (MBE_TPU_AMBE_TL=gather): each block's padded [6,17] IDCT matrix
+is fetched by its actual size via a one-hot MXU matmul, then accumulated
+ascending-k (reference order).
+B = round-2 form (=dense): the [4,153,C] all-block-sizes U einsum (80 MB
+at C=32768) + a 17-pass pad/select loop.
+
+Both variants are traced under their own env state BEFORE interleaved
+measurement (the env var is read at trace time; jit traces at first CALL).
+
+Usage: python tools/t_ab_ambetl.py [codec] [channels] [rounds]
+"""
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MBE_TPU_JAX_CACHE", "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from ab_bench import build, init_for, measure  # noqa: E402
+
+
+def main():
+    codec = sys.argv[1] if len(sys.argv) > 1 else "ambe2400"
+    channels = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    os.environ["MBE_TPU_AMBE_TL"] = "gather"
+    fn_a, steps = build(codec, channels)
+    jax.block_until_ready(fn_a(init_for(codec, channels)))  # trace A first
+
+    os.environ["MBE_TPU_AMBE_TL"] = "dense"
+    fn_b, _ = build(codec, channels)
+    jax.block_until_ready(fn_b(init_for(codec, channels)))  # trace B
+    os.environ["MBE_TPU_AMBE_TL"] = "gather"
+
+    best_a = best_b = float("inf")
+    for r in range(rounds):
+        best_a = min(best_a, measure(fn_a, channels, steps, 1, codec))
+        best_b = min(best_b, measure(fn_b, channels, steps, 1, codec))
+        print(f"round {r}: A(gather) {best_a*1e3:.3f} ms  "
+              f"B(dense U) {best_b*1e3:.3f} ms", flush=True)
+    print(f"{codec} C={channels}: A {best_a*1e3:.3f} ms vs B "
+          f"{best_b*1e3:.3f} ms -> {best_b/best_a:.3f}x")
+
+
+if __name__ == "__main__":
+    main()

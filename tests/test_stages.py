@@ -179,3 +179,61 @@ def test_imbe_scatter_packed_equals_pairs(monkeypatch):
             jax.jit(decode_imbe4400_parms)(dj, st.cur, st.prev))
     jax.tree.map(np.testing.assert_array_equal, outs["pairs"],
                  outs["packed"])
+
+
+def test_imbe_midct_matmul_equals_where(monkeypatch):
+    """The block-IDCT Mlo/Mhi row gather has two trace-selectable forms
+    (MBE_TPU_IMBE_MIDCT): one-hot MXU matmuls (default) and the round-3
+    where-chain. The matmul form is exact by construction (one 1.0 per
+    one-hot column, 0*x products, x + 0 == x), so the whole decode must
+    agree BITWISE across every L variant."""
+    from mbe_tpu.models import state
+    from mbe_tpu.models.imbe import _B0_IDX, decode_imbe4400_parms
+
+    rng = np.random.default_rng(23)
+    C = 256  # one lane per b0 value: covers all 48 variants + bad lanes
+    d = rng.integers(0, 2, (88, C)).astype(np.int32)
+    b0 = np.arange(C, dtype=np.int64)
+    for k in range(len(_B0_IDX)):
+        d[_B0_IDX[k], :] = (b0 >> (len(_B0_IDX) - 1 - k)) & 1
+    st = state.init_state(C)
+    dj = jax.numpy.asarray(d)
+
+    outs = {}
+    for mode in ("matmul", "where"):
+        monkeypatch.setenv("MBE_TPU_IMBE_MIDCT", mode)
+        outs[mode] = jax.tree.map(
+            np.asarray,
+            jax.jit(decode_imbe4400_parms)(dj, st.cur, st.prev))
+    jax.tree.map(np.testing.assert_array_equal, outs["matmul"],
+                 outs["where"])
+
+
+def test_ambe_tl_gather_close_to_dense(monkeypatch):
+    """The AMBE per-block IDCT has two trace-selectable forms
+    (MBE_TPU_AMBE_TL): gather-by-size with explicit ascending-k
+    accumulation (default, matches the reference's f32 summation order)
+    and the all-sizes U einsum. They differ only in f32 summation order
+    inside the 6-term k-contraction (measured <=5e-5 max rel; the gather
+    form is the one CLOSER to the C loop), so any larger divergence means
+    a slot/size mapping bug."""
+    rng = np.random.default_rng(29)
+    C = 64
+    L = np.concatenate([np.arange(57), rng.integers(0, 57, C - 57)]
+                       ).astype(np.int32)  # every block-size row
+    Gm = rng.normal(size=(8, C)).astype(np.float32)
+    Gm[0] = 0
+    b5 = rng.integers(0, 32, C).astype(np.int32)
+    b6 = rng.integers(0, 16, C).astype(np.int32)
+    b7 = rng.integers(0, 16, C).astype(np.int32)
+    b8 = rng.integers(0, 8, C).astype(np.int32)
+
+    for plus in (False, True):
+        outs = {}
+        for mode in ("gather", "dense"):
+            monkeypatch.setenv("MBE_TPU_AMBE_TL", mode)
+            outs[mode] = np.asarray(jax.jit(
+                lambda *x: ambe._tl_from_codes(*x, plus=plus))(
+                    L, Gm, b5, b6, b7, b8))
+        np.testing.assert_allclose(outs["gather"], outs["dense"],
+                                   rtol=1e-3, atol=1e-3)

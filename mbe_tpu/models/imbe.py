@@ -326,7 +326,8 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms, words=None):
     tb = _decode_tables()
     c = imbe_d.shape[1]
     hp = jax.lax.Precision.HIGHEST
-    packed_scatter = os.environ.get("MBE_TPU_IMBE_SCATTER", "packed") != "pairs"
+    packed_scatter = os.environ.get("MBE_TPU_IMBE_SCATTER",
+                                    "batched") != "pairs"
 
     if packed_scatter and words is None:
         words = pack_imbe_words(imbe_d)
@@ -379,6 +380,38 @@ def decode_imbe4400_parms(imbe_d, cur: Parms, prev: Parms, words=None):
                             p[idx, :], 0.0)
             rows.append(jnp.sum(sel, axis=0, keepdims=True))
         vals = jnp.concatenate(rows, axis=0)                 # [72, C]
+    elif os.environ.get("MBE_TPU_IMBE_SCATTER", "batched") == "batched":
+        # Round 5: the row-loop form below runs ~860 ops on [1, C] rows at
+        # 1/8 sublane occupancy (the round-5 Tl-select lesson). Batched:
+        # ONE [S, C] tile chain extracts all 172 slots lane-dense — the
+        # generic 3-way word select on the position is correct for every
+        # slot (the position determines the word) — and the static
+        # slot->column segment sum runs as an exact one-hot MXU matmul:
+        # every contribution is 0 or 2^t (t <= 11, exact in bf16), sums
+        # < 2^13 accumulate in f32. Bit-identical to the row loop.
+        pn_all = jnp.matmul(jnp.asarray(tb["posT"], jnp.bfloat16),
+                            onehot_bf,
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.int32)  # [Sv, C]
+        pos_f = np.asarray([s for (_, _, s) in tb["slot_fixed"]], np.int32)
+        t_all = np.asarray([t for (_, t, _) in tb["slot_fixed"]]
+                           + [t for (_, t, _) in tb["slot_var"]], np.int32)
+        cols = ([cv for (cv, _, _) in tb["slot_fixed"]]
+                + [cv for (cv, _, _) in tb["slot_var"]])
+        Mcol = np.zeros((tb["NCOLS"], len(cols)), np.float32)
+        Mcol[cols, np.arange(len(cols))] = 1.0
+        pos_full = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(pos_f)[:, None],
+                              (len(pos_f), c)), pn_all], axis=0)  # [S, C]
+        wsel_w = jnp.where(pos_full < 32, words[0][None, :],
+                           jnp.where(pos_full < 64, words[1][None, :],
+                                     words[2][None, :]))
+        # sentinel 95 lands in word 2 bit 31 == 0 (only 24 bits live)
+        shifted = (((wsel_w >> (pos_full & 31)) & 1)
+                   << jnp.asarray(t_all)[:, None])
+        vals = jnp.matmul(jnp.asarray(Mcol, jnp.bfloat16),
+                          shifted.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)   # [72, C]
     else:
         pn_all = jnp.matmul(jnp.asarray(tb["posT"], jnp.bfloat16),
                             onehot_bf,

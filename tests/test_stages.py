@@ -172,13 +172,15 @@ def test_imbe_scatter_packed_equals_pairs(monkeypatch):
     dj = jax.numpy.asarray(d)
 
     outs = {}
-    for mode in ("pairs", "packed"):
+    for mode in ("pairs", "packed", "batched"):
         monkeypatch.setenv("MBE_TPU_IMBE_SCATTER", mode)
         outs[mode] = jax.tree.map(
             np.asarray,
             jax.jit(decode_imbe4400_parms)(dj, st.cur, st.prev))
     jax.tree.map(np.testing.assert_array_equal, outs["pairs"],
                  outs["packed"])
+    jax.tree.map(np.testing.assert_array_equal, outs["pairs"],
+                 outs["batched"])
 
 
 def test_imbe_midct_matmul_equals_where(monkeypatch):
